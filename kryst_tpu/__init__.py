@@ -1,0 +1,36 @@
+"""kryst_tpu — a TPU-native Krylov subspace solver framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the Rust
+library tmathis720/kryst (see SURVEY.md): direct and iterative (Krylov)
+solvers with preconditioning, on a functional, jit-first architecture:
+
+- linear operators and preconditioners are pytrees (kryst_tpu.core.linop,
+  kryst_tpu.pc) usable under ``jax.jit`` / ``shard_map``;
+- solver iterations are ``lax.while_loop`` kernels that report numerical
+  breakdown via flags in :class:`~kryst_tpu.core.convergence.SolveStats`;
+- distribution is a `jax.sharding.Mesh` with psum reductions over ICI
+  (kryst_tpu.parallel), replacing the reference's Rayon/MPI ``Comm`` layer.
+
+The flat re-exports below mirror the reference's crate root (lib.rs:17-28).
+"""
+
+from kryst_tpu.core.convergence import (
+    Breakdown,
+    Convergence,
+    NormType,
+    SolveStats,
+)
+from kryst_tpu.core.linop import (
+    DenseOperator,
+    ELLOperator,
+    FunctionOperator,
+    StencilOperator2D,
+    StencilOperator3D,
+    as_operator,
+)
+from kryst_tpu.matrix.csr import CSRMatrix
+from kryst_tpu.pc.base import IdentityPC
+from kryst_tpu.pc.jacobi import JacobiPC
+from kryst_tpu.solvers.cg import cg, pcg
+
+__version__ = "0.1.0"
