@@ -31,6 +31,21 @@ from kryst_tpu.core.linop import (
 from kryst_tpu.matrix.csr import CSRMatrix
 from kryst_tpu.pc.base import IdentityPC
 from kryst_tpu.pc.jacobi import JacobiPC
+from kryst_tpu.solvers.bicgstab import bicgstab
 from kryst_tpu.solvers.cg import cg, pcg
+from kryst_tpu.solvers.cgnr import cgne, cgnr
+from kryst_tpu.solvers.cgs import cgs
+from kryst_tpu.solvers.direct import (
+    LUFactorization,
+    QRFactorization,
+    lu_factor,
+    lu_solve,
+    qr_factor,
+    qr_solve,
+)
+from kryst_tpu.solvers.gmres import fgmres, gmres
+from kryst_tpu.solvers.minres import minres
+from kryst_tpu.solvers.qmr import qmr
+from kryst_tpu.solvers.tfqmr import tfqmr
 
 __version__ = "0.1.0"

@@ -1,0 +1,454 @@
+"""Restarted GMRES(m) and flexible GMRES as fixed-shape while_loop kernels.
+
+TPU-native redesign of the reference GmresSolver / FgmresSolver
+(src/solver/gmres.rs, src/solver/fgmres.rs; Saad §6.4 / §9.4).
+
+Design notes
+------------
+- The Krylov basis is a fixed ``(restart+1, n)`` row-major buffer — the
+  jit-able analogue of the reference's ``preallocate`` policy
+  (fgmres.rs:144-153). Orthogonalization against the first ``j`` rows is a
+  *masked matmul panel* ``V @ w`` — on TPU this turns the reference's
+  per-vector MGS dot loop (gmres.rs:83-96) into an MXU-shaped reduction.
+- The reference performs MGS followed by an unconditional second pass
+  (gmres.rs:83-96) — i.e. a twice-is-enough re-orthogonalization. Here the
+  default is CGS2 (classical Gram-Schmidt, two passes), which has the same
+  numerical quality and is one matmul per pass instead of j sequential
+  dots; ``orthog="mgs2"`` gives a scan-based modified variant.
+- Givens rotations and the triangular solve are O(restart²) scalar work,
+  kept on device (gmres.rs:154-192); zero diagonal in the back-substitution
+  sets the ZERO_PIVOT breakdown flag instead of erroring (gmres.rs:183-186).
+- Happy breakdown at ``h[j+1,j] < 1e-14`` exits the cycle (gmres.rs:98-100).
+- Left preconditioning runs Arnoldi on M⁻¹A and measures the preconditioned
+  residual; right preconditioning runs on AM⁻¹ and applies M⁻¹ once to the
+  correction ``V y`` — valid because preconditioners are linear, so the
+  reference's stored z-basis (gmres.rs:308-342) is unnecessary for GMRES
+  (FGMRES, whose M varies per iteration, does store Z).
+- The true residual is recomputed at every restart boundary
+  (gmres.rs:387-398).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from kryst_tpu.core.convergence import Breakdown, make_stats
+from kryst_tpu.core.linop import as_operator
+from kryst_tpu.solvers._common import default_x0, dot, init_history, safe_div
+
+
+# ---------------------------------------------------------------------------
+# shared Arnoldi/Givens machinery
+# ---------------------------------------------------------------------------
+
+def _orthogonalize_cgs2(V, w, j, axis_name=None):
+    """Two-pass classical Gram-Schmidt of w against rows 0..j of V.
+
+    Returns (w_orth, h) where h has length nrows(V); entries > j are 0.
+    Each pass is ONE matmul panel + ONE correction — the comm-avoiding
+    shape (a single fused reduction per pass on a mesh).
+    """
+    mp1 = V.shape[0]
+    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
+    h1 = V @ w
+    if axis_name is not None:
+        h1 = lax.psum(h1, axis_name)
+    h1 = h1 * mask
+    w = w - h1 @ V
+    h2 = V @ w
+    if axis_name is not None:
+        h2 = lax.psum(h2, axis_name)
+    h2 = h2 * mask
+    w = w - h2 @ V
+    return w, h1 + h2
+
+
+def _orthogonalize_mgs2(V, w, j, axis_name=None):
+    """Modified Gram-Schmidt (sequential) + second pass (gmres.rs:83-96)."""
+    mp1 = V.shape[0]
+
+    def pass_(w):
+        def body(i, carry):
+            w, h = carry
+            active = i <= j
+            hi = dot(V[i], w, axis_name)
+            hi = jnp.where(active, hi, 0.0)
+            w = w - hi * V[i]
+            h = h.at[i].set(hi)
+            return (w, h)
+
+        return lax.fori_loop(0, mp1, body, (w, jnp.zeros(mp1, dtype=V.dtype)))
+
+    w, h1 = pass_(w)
+    w, h2 = pass_(w)
+    return w, h1 + h2
+
+
+def _apply_stored_givens(h, cs, sn, j):
+    """Apply rotations 0..j-1 to the new column h (gmres.rs:154-176)."""
+    m = cs.shape[0]
+
+    def body(i, h):
+        hi = h[i]
+        hi1 = h[i + 1]
+        new_i = cs[i] * hi + sn[i] * hi1
+        new_i1 = -sn[i] * hi + cs[i] * hi1
+        apply = i < j
+        h = h.at[i].set(jnp.where(apply, new_i, hi))
+        h = h.at[i + 1].set(jnp.where(apply, new_i1, hi1))
+        return h
+
+    return lax.fori_loop(0, m, body, h)
+
+
+def _new_givens(a, b):
+    """Rotation zeroing b: returns (c, s, r) with c*a + s*b = r."""
+    denom = jnp.sqrt(a * a + b * b)
+    c = jnp.where(denom > 0, a / jnp.where(denom > 0, denom, 1.0), 1.0)
+    s = jnp.where(denom > 0, b / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return c, s, denom
+
+
+def _solve_upper(Ht, g, j_end):
+    """Solve the active (j_end x j_end) upper-triangular block H y = g.
+
+    Ht is the transposed Hessenberg buffer: Ht[k] = column k of H,
+    shape (m, m+1). Inactive rows/cols are replaced by the identity so one
+    fixed-shape triangular solve handles every j_end (gmres.rs:180-192).
+    Returns (y, zero_pivot).
+    """
+    m = Ht.shape[0]
+    U = Ht[:, :m].T  # (m, m): U[i, k] = H[i, k]
+    ij = jnp.arange(m)
+    active2d = (ij[:, None] < j_end) & (ij[None, :] < j_end)
+    eye = jnp.eye(m, dtype=U.dtype)
+    Umod = jnp.where(active2d, U, eye)
+    gmod = jnp.where(ij < j_end, g[:m], 0.0)
+    diag = jnp.diagonal(Umod)
+    zero_pivot = jnp.any((jnp.abs(diag) == 0) & (ij < j_end))
+    Umod = Umod + jnp.where(diag == 0, 1.0, 0.0)[None, :] * eye
+    y = jax.scipy.linalg.solve_triangular(Umod, gmod, lower=False)
+    return y, zero_pivot
+
+
+# ---------------------------------------------------------------------------
+# GMRES
+# ---------------------------------------------------------------------------
+
+class _InnerCarry(NamedTuple):
+    V: Array
+    Ht: Array
+    g: Array
+    cs: Array
+    sn: Array
+    j: Array
+    res_est: Array
+    active: Array
+    happy: Array
+    hist: Optional[Array]
+
+
+class _OuterCarry(NamedTuple):
+    x: Array
+    it: Array
+    res: Array
+    done: Array
+    breakdown: Array
+    hist: Optional[Array]
+
+
+def gmres(
+    A,
+    b,
+    x0=None,
+    *,
+    M=None,
+    side: str = "left",
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    restart: int = 30,
+    orthog: str = "cgs2",
+    happy_tol: float = 1e-14,
+    record_history: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """Restarted GMRES(m) with optional left/right preconditioning.
+
+    ``side``: "left" (default, gmres.rs:53), "right", or "none".
+    Returns ``(x, SolveStats)``.
+    """
+    if side not in ("left", "right", "none"):
+        raise ValueError(f"side must be left/right/none, got {side!r}")
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    x = default_x0(b, x0)
+    n = b.shape[0]
+    m = restart
+    apply_M = (lambda v: v) if M is None else M.apply
+    if M is None:
+        side = "none"
+    orth = _orthogonalize_cgs2 if orthog == "cgs2" else _orthogonalize_mgs2
+
+    def residual(x):
+        r = b - A.matvec(x)
+        if side == "left":
+            r = apply_M(r)
+        return r
+
+    def op(v):
+        if side == "left":
+            return apply_M(A.matvec(v))
+        if side == "right":
+            return A.matvec(apply_M(v))
+        return A.matvec(v)
+
+    r0 = residual(x)
+    res0 = jnp.sqrt(dot(r0, r0, axis_name))
+    threshold = jnp.maximum(tol * res0, atol)
+    hist0 = init_history(maxiter, res0, record_history)
+    dtype = b.dtype
+
+    def outer_body(s: _OuterCarry) -> _OuterCarry:
+        r = residual(s.x)
+        beta = jnp.sqrt(dot(r, r, axis_name))
+        V0 = jnp.zeros((m + 1, n), dtype=dtype)
+        V0 = V0.at[0].set(safe_div(r, beta))
+        inner0 = _InnerCarry(
+            V=V0,
+            Ht=jnp.zeros((m, m + 1), dtype=dtype),
+            g=jnp.zeros(m + 1, dtype=dtype).at[0].set(beta),
+            cs=jnp.zeros(m, dtype=dtype),
+            sn=jnp.zeros(m, dtype=dtype),
+            j=jnp.int32(0),
+            res_est=beta,
+            active=beta > threshold,
+            happy=jnp.asarray(False),
+            hist=s.hist,
+        )
+
+        def inner_cond(c: _InnerCarry):
+            return c.active & (c.j < m) & (s.it + c.j < maxiter)
+
+        def inner_body(c: _InnerCarry) -> _InnerCarry:
+            vj = c.V[c.j]
+            w = op(vj)
+            w, h = orth(c.V, w, c.j, axis_name)
+            hnorm = jnp.sqrt(dot(w, w, axis_name))
+            happy = hnorm < happy_tol  # gmres.rs:98-100
+            vnext = safe_div(w, hnorm)
+            V = lax.dynamic_update_index_in_dim(c.V, vnext, c.j + 1, 0)
+            h = h.at[c.j + 1].set(hnorm)
+            # Givens: rotate the new column, then generate rotation j
+            h = _apply_stored_givens(h, c.cs, c.sn, c.j)
+            cj, sj, rj = _new_givens(h[c.j], h[c.j + 1])
+            h = h.at[c.j].set(rj).at[c.j + 1].set(0.0)
+            cs = c.cs.at[c.j].set(cj)
+            sn = c.sn.at[c.j].set(sj)
+            gj = c.g[c.j]
+            g = c.g.at[c.j].set(cj * gj).at[c.j + 1].set(-sj * gj)
+            Ht = lax.dynamic_update_index_in_dim(c.Ht, h, c.j, 0)
+            res_est = jnp.abs(g[c.j + 1])
+            j = c.j + 1
+            hist = (
+                None
+                if c.hist is None
+                else c.hist.at[jnp.minimum(s.it + j, maxiter)].set(res_est)
+            )
+            active = (res_est > threshold) & (~happy)
+            return _InnerCarry(V, Ht, g, cs, sn, j, res_est, active, happy, hist)
+
+        f = lax.while_loop(inner_cond, inner_body, inner0)
+        j_end = f.j
+        y, zero_pivot = _solve_upper(f.Ht, f.g, j_end)
+        # correction = sum_k y_k v_k over the active columns
+        colmask = (jnp.arange(m) < j_end).astype(dtype)
+        update = (y * colmask) @ f.V[:m]
+        if side == "right":
+            update = apply_M(update)
+        x_new = s.x + update
+
+        # true residual at the restart boundary (gmres.rs:387-398)
+        r_true = b - A.matvec(x_new)
+        res_true = jnp.sqrt(dot(r_true, r_true, axis_name))
+        res_meas = (
+            jnp.sqrt(dot(apply_M(r_true), apply_M(r_true), axis_name))
+            if side == "left"
+            else res_true
+        )
+        it = s.it + j_end
+        reached = res_meas <= threshold
+        brk = jnp.where(zero_pivot, jnp.int32(Breakdown.ZERO_PIVOT), s.breakdown)
+        # a happy breakdown with the subspace solved exactly is convergence
+        done = reached | zero_pivot | f.happy | (j_end == 0) | (it >= maxiter)
+        return _OuterCarry(x_new, it, res_meas, done, brk, f.hist)
+
+    init = _OuterCarry(
+        x,
+        jnp.int32(0),
+        res0,
+        res0 <= threshold,
+        jnp.int32(Breakdown.NONE),
+        hist0,
+    )
+    final = lax.while_loop(lambda s: (~s.done) & (s.it < maxiter), outer_body, init)
+    stats = make_stats(
+        final.it,
+        final.res,
+        safe_div(final.res, res0),
+        final.res <= threshold,
+        final.breakdown,
+        maxiter,
+        final.hist,
+    )
+    return final.x, stats
+
+
+# ---------------------------------------------------------------------------
+# FGMRES
+# ---------------------------------------------------------------------------
+
+class _FInnerCarry(NamedTuple):
+    V: Array
+    Z: Array
+    Ht: Array
+    g: Array
+    cs: Array
+    sn: Array
+    j: Array
+    res_est: Array
+    active: Array
+    happy: Array
+    hist: Optional[Array]
+
+
+def fgmres(
+    A,
+    b,
+    x0=None,
+    *,
+    M=None,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    restart: int = 30,
+    orthog: str = "cgs2",
+    happy_tol: float = 1e-12,
+    record_history: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """Flexible GMRES (reference FgmresSolver, fgmres.rs; Saad §9.4).
+
+    ``M`` may be a preconditioner state (``.apply``) or a *flexible*
+    callable ``(iteration, v) -> z`` whose behavior varies with the
+    iteration index — the jit-able analogue of the reference's
+    ``FlexiblePreconditioner`` + ``modify_pc`` callback (fgmres.rs:44-46).
+    The z-basis is stored explicitly (fgmres.rs:207-211) since a varying M
+    admits no recomputation trick.
+    """
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    x = default_x0(b, x0)
+    n = b.shape[0]
+    m = restart
+    if M is None:
+        apply_M = lambda it, v: v
+    elif callable(M) and not hasattr(M, "apply"):
+        apply_M = M
+    else:
+        apply_M = lambda it, v: M.apply(v)
+    orth = _orthogonalize_cgs2 if orthog == "cgs2" else _orthogonalize_mgs2
+
+    r0 = b - A.matvec(x)
+    res0 = jnp.sqrt(dot(r0, r0, axis_name))
+    threshold = jnp.maximum(tol * res0, atol)
+    hist0 = init_history(maxiter, res0, record_history)
+    dtype = b.dtype
+
+    def outer_body(s: _OuterCarry) -> _OuterCarry:
+        r = b - A.matvec(s.x)
+        beta = jnp.sqrt(dot(r, r, axis_name))
+        V0 = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(safe_div(r, beta))
+        inner0 = _FInnerCarry(
+            V=V0,
+            Z=jnp.zeros((m, n), dtype=dtype),
+            Ht=jnp.zeros((m, m + 1), dtype=dtype),
+            g=jnp.zeros(m + 1, dtype=dtype).at[0].set(beta),
+            cs=jnp.zeros(m, dtype=dtype),
+            sn=jnp.zeros(m, dtype=dtype),
+            j=jnp.int32(0),
+            res_est=beta,
+            active=beta > threshold,
+            happy=jnp.asarray(False),
+            hist=s.hist,
+        )
+
+        def inner_cond(c: _FInnerCarry):
+            return c.active & (c.j < m) & (s.it + c.j < maxiter)
+
+        def inner_body(c: _FInnerCarry) -> _FInnerCarry:
+            vj = c.V[c.j]
+            z = apply_M(s.it + c.j, vj)  # flexible: may depend on iteration
+            Z = lax.dynamic_update_index_in_dim(c.Z, z, c.j, 0)
+            w = A.matvec(z)
+            w, h = orth(c.V, w, c.j, axis_name)
+            hnorm = jnp.sqrt(dot(w, w, axis_name))
+            # haptol scaled by the current residual estimate (fgmres.rs:251-259)
+            happy = hnorm < happy_tol * jnp.maximum(c.res_est, 1.0)
+            vnext = safe_div(w, hnorm)
+            V = lax.dynamic_update_index_in_dim(c.V, vnext, c.j + 1, 0)
+            h = h.at[c.j + 1].set(hnorm)
+            h = _apply_stored_givens(h, c.cs, c.sn, c.j)
+            cj, sj, rj = _new_givens(h[c.j], h[c.j + 1])
+            h = h.at[c.j].set(rj).at[c.j + 1].set(0.0)
+            cs = c.cs.at[c.j].set(cj)
+            sn = c.sn.at[c.j].set(sj)
+            gj = c.g[c.j]
+            g = c.g.at[c.j].set(cj * gj).at[c.j + 1].set(-sj * gj)
+            Ht = lax.dynamic_update_index_in_dim(c.Ht, h, c.j, 0)
+            res_est = jnp.abs(g[c.j + 1])
+            j = c.j + 1
+            hist = (
+                None
+                if c.hist is None
+                else c.hist.at[jnp.minimum(s.it + j, maxiter)].set(res_est)
+            )
+            active = (res_est > threshold) & (~happy)
+            return _FInnerCarry(V, Z, Ht, g, cs, sn, j, res_est, active, happy, hist)
+
+        f = lax.while_loop(inner_cond, inner_body, inner0)
+        j_end = f.j
+        y, zero_pivot = _solve_upper(f.Ht, f.g, j_end)
+        colmask = (jnp.arange(m) < j_end).astype(dtype)
+        x_new = s.x + (y * colmask) @ f.Z
+
+        r_true = b - A.matvec(x_new)
+        res_true = jnp.sqrt(dot(r_true, r_true, axis_name))
+        it = s.it + j_end
+        reached = res_true <= threshold
+        brk = jnp.where(zero_pivot, jnp.int32(Breakdown.ZERO_PIVOT), s.breakdown)
+        done = reached | zero_pivot | f.happy | (j_end == 0) | (it >= maxiter)
+        return _OuterCarry(x_new, it, res_true, done, brk, f.hist)
+
+    init = _OuterCarry(
+        x,
+        jnp.int32(0),
+        res0,
+        res0 <= threshold,
+        jnp.int32(Breakdown.NONE),
+        hist0,
+    )
+    final = lax.while_loop(lambda s: (~s.done) & (s.it < maxiter), outer_body, init)
+    stats = make_stats(
+        final.it,
+        final.res,
+        safe_div(final.res, res0),
+        final.res <= threshold,
+        final.breakdown,
+        maxiter,
+        final.hist,
+    )
+    return final.x, stats
