@@ -1,0 +1,81 @@
+"""Block-Jacobi preconditioner: batched dense block solves.
+
+TPU-native redesign of the reference BlockJacobi
+(src/preconditioner/block_jacobi.rs): non-overlapping diagonal blocks,
+dense LU factored at setup (block_jacobi.rs:39-61), applied as independent
+block solves (block_jacobi.rs:69-107). The reference parallelizes blocks
+with Rayon and a Mutex'd output; here the blocks are padded to a common
+size and the factor/solve is a single ``vmap``-batched LU — the natural
+TPU shape (one batched MXU-friendly kernel, no locks).
+
+Unlike the reference (inherent methods, f64-only, not implementing the
+Preconditioner trait — block_jacobi.rs:16-18), this is a first-class
+preconditioner usable by every solver.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+from jax import Array
+from jax.tree_util import register_dataclass
+
+from kryst_tpu.matrix.csr import CSRMatrix
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockJacobiPC:
+    lu: Array  # (nb, bmax, bmax) batched LU factors
+    piv: Array  # (nb, bmax)
+    idx: Array  # (nb, bmax) row indices, -1 padded
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, r: Array) -> Array:
+        valid = self.idx >= 0
+        gi = jnp.where(valid, self.idx, 0)
+        rb = jnp.where(valid, r[gi], 0.0)  # (nb, bmax)
+        xb = jax.vmap(lambda lu, piv, b: jsl.lu_solve((lu, piv), b))(
+            self.lu, self.piv, rb
+        )
+        z = jnp.zeros_like(r)
+        # non-overlapping blocks: plain scatter (padding lands on row 0 with
+        # add-of-zero semantics via where)
+        return z.at[gi].add(jnp.where(valid, xb, 0.0))
+
+    @staticmethod
+    def setup(
+        a: CSRMatrix,
+        blocks: Optional[Sequence[np.ndarray]] = None,
+        nblocks: int = 8,
+        dtype=None,
+    ) -> "BlockJacobiPC":
+        """``blocks``: explicit row index sets (e.g. from
+        pc.coloring.build_blocks_from_colors, the reference's block
+        construction path); default is a uniform contiguous partition."""
+        n = a.shape[0]
+        dtype = dtype or a.data.dtype
+        if blocks is None:
+            bounds = np.linspace(0, n, nblocks + 1).astype(np.int64)
+            blocks = [np.arange(bounds[k], bounds[k + 1]) for k in range(nblocks)]
+            blocks = [blk for blk in blocks if len(blk)]
+        bmax = max(len(blk) for blk in blocks)
+        nb = len(blocks)
+        mats = np.tile(np.eye(bmax, dtype=dtype), (nb, 1, 1))
+        idx = -np.ones((nb, bmax), dtype=np.int32)
+        for k, blk in enumerate(blocks):
+            blk = np.asarray(blk)
+            sub = a.submatrix(blk).todense().astype(dtype)
+            m = len(blk)
+            mats[k, :m, :m] = sub
+            idx[k, :m] = blk
+        lu, piv = jax.vmap(jsl.lu_factor)(jnp.asarray(mats))
+        return BlockJacobiPC(lu=lu, piv=piv, idx=jnp.asarray(idx), n=n)
+
+
+register_dataclass(
+    BlockJacobiPC, data_fields=["lu", "piv", "idx"], meta_fields=["n"]
+)
