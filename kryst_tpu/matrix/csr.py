@@ -66,11 +66,9 @@ class CSRMatrix:
     def diag(self) -> np.ndarray:
         n = min(self.shape)
         d = np.zeros(n, dtype=self.data.dtype)
-        for i in range(n):
-            cols, vals = self.row(i)
-            hit = cols == i
-            if hit.any():
-                d[i] = vals[hit].sum()
+        rows_of_nnz = np.repeat(np.arange(self.shape[0]), self.row_nnz())
+        hit = (rows_of_nnz == self.indices) & (rows_of_nnz < n)
+        np.add.at(d, rows_of_nnz[hit], self.data[hit])
         return d
 
     def todense(self) -> np.ndarray:
@@ -124,11 +122,11 @@ class CSRMatrix:
         n = self.shape[0]
         data = np.zeros((n, k), dtype=dtype or self.data.dtype)
         cols = np.zeros((n, k), dtype=np.int32)
-        for i in range(n):
-            c, v = self.row(i)
-            w = min(len(c), k)
-            data[i, :w] = v[:w]
-            cols[i, :w] = c[:w]
+        rows_of_nnz = np.repeat(np.arange(n), widths)
+        pos_in_row = np.arange(self.nnz) - np.repeat(self.indptr[:-1], widths)
+        keep = pos_in_row < k
+        data[rows_of_nnz[keep], pos_in_row[keep]] = self.data[keep]
+        cols[rows_of_nnz[keep], pos_in_row[keep]] = self.indices[keep]
         return data, cols
 
     def to_ell(self, k: Optional[int] = None, dtype=None):

@@ -1,0 +1,258 @@
+"""Smoothed-aggregation algebraic multigrid preconditioner.
+
+TPU-native redesign of the reference's adaptive smoothed-aggregation AMG
+(src/preconditioner/amg.rs, 934 LoC of dense-matrix multigrid). The design
+split follows SURVEY §7: *setup on host* (NumPy/SciPy sparse — one-time,
+shape-dynamic, sequential-greedy), *V-cycle on device* (static hierarchy of
+ELL operators, unrolled over levels inside jit).
+
+Setup pipeline per level (mirroring the reference's):
+- adaptive strength threshold scaled by average anisotropy
+  (amg.rs:447-498)
+- strength matrix S(i,j) = |a_ij| / sqrt(a_ii a_jj) > theta
+  (amg.rs:605-658)
+- double-pairwise aggregation: pairwise match, coarse-graph rebuild,
+  pairwise again, remap (amg.rs:664-789) — giving aggregates of <= 4
+- piecewise-constant tentative prolongation (amg.rs:794-818), Jacobi
+  smoothing P = (I - omega D^-1 A) P0 (amg.rs:502-525), row normalization
+  ("energy minimization", amg.rs:529-565)
+- R = P^T (amg.rs:135), RAP coarse operator (amg.rs:94)
+
+Device V-cycle (amg.rs:200-250): nu_pre/nu_post damped-Jacobi smoothing,
+restrict, recurse, prolongate-correct. Deviation (documented): the
+coarsest solve is a cached dense LU instead of the reference's CG to 1e-10
+(amg.rs:254-312) — exact, cheaper, and jit-friendly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax import Array
+from jax.tree_util import register_dataclass
+
+import jax.scipy.linalg as jsl
+
+from kryst_tpu.core.linop import ELLOperator
+from kryst_tpu.matrix.csr import CSRMatrix
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+
+def _to_scipy(a: CSRMatrix) -> sp.csr_matrix:
+    return sp.csr_matrix(
+        (a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape
+    )
+
+
+def _strength_matrix(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """S(i,j) = |a_ij| / sqrt(a_ii * a_jj) > theta (amg.rs:605-658)."""
+    d = np.asarray(A.diagonal())
+    d = np.where(d != 0, np.abs(d), 1.0)
+    coo = A.tocoo()
+    scale = np.sqrt(d[coo.row] * d[coo.col])
+    s = np.abs(coo.data) / scale
+    keep = (s > theta) & (coo.row != coo.col)
+    return sp.csr_matrix(
+        (s[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
+    )
+
+
+def _adaptive_theta(A: sp.csr_matrix, base: float) -> float:
+    """Scale the base threshold by the average anisotropy
+    max_offdiag / diag (amg.rs:447-498)."""
+    d = np.abs(np.asarray(A.diagonal()))
+    d = np.where(d != 0, d, 1.0)
+    B = A.tocsr(copy=True)
+    B.setdiag(0)
+    B.eliminate_zeros()
+    if B.nnz == 0:
+        return base
+    max_off = np.abs(B).max(axis=1).toarray().ravel()
+    aniso = float(np.mean(max_off / d))
+    return float(np.clip(base * aniso, 0.01, 0.5))
+
+
+def _pairwise_aggregate(S: sp.csr_matrix) -> np.ndarray:
+    """Greedy pairwise matching on the strength graph: each unmatched node
+    grabs its strongest unmatched neighbor (amg.rs:664-731 pairwise pass)."""
+    n = S.shape[0]
+    agg = -np.ones(n, dtype=np.int64)
+    Sr = S.tocsr()
+    order = np.argsort(np.diff(Sr.indptr))  # fewest strong connections first
+    next_agg = 0
+    for i in order:
+        if agg[i] >= 0:
+            continue
+        cols = Sr.indices[Sr.indptr[i] : Sr.indptr[i + 1]]
+        vals = Sr.data[Sr.indptr[i] : Sr.indptr[i + 1]]
+        free = agg[cols] < 0
+        if free.any():
+            j = cols[free][np.argmax(vals[free])]
+            agg[i] = agg[j] = next_agg
+        else:
+            agg[i] = next_agg  # singleton
+        next_agg += 1
+    return agg
+
+
+def _aggregate(A: sp.csr_matrix, theta: float) -> np.ndarray:
+    """Double-pairwise aggregation (amg.rs:664-789): two matching rounds
+    composed through the intermediate coarse graph."""
+    S = _strength_matrix(A, theta)
+    agg1 = _pairwise_aggregate(S)
+    n1 = int(agg1.max()) + 1
+    # coarse graph of the first pairing
+    P1 = sp.csr_matrix(
+        (np.ones(len(agg1)), (np.arange(len(agg1)), agg1)), shape=(A.shape[0], n1)
+    )
+    A1 = (P1.T @ A @ P1).tocsr()
+    S1 = _strength_matrix(A1, theta)
+    agg2 = _pairwise_aggregate(S1)
+    return agg2[agg1]  # remap (amg.rs:785-789)
+
+
+def _smoothed_prolongation(
+    A: sp.csr_matrix, agg: np.ndarray, omega: float, row_normalize: bool = False
+) -> sp.csr_matrix:
+    """Jacobi-smoothed piecewise-constant prolongation (amg.rs:502-525,
+    794-818). ``row_normalize=True`` reproduces the reference's
+    "energy minimization" row scaling (amg.rs:529-565) — measured to
+    *worsen* the V-cycle rate on Poisson (0.59 vs 0.46 per cycle), so the
+    default deviates from the reference and skips it."""
+    n = A.shape[0]
+    nc = int(agg.max()) + 1
+    P0 = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+    d = np.asarray(A.diagonal())
+    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    Dinv = sp.diags(dinv)
+    P = (P0 - omega * (Dinv @ (A @ P0))).tocsr()
+    if row_normalize:
+        rs = np.asarray(np.abs(P).sum(axis=1)).ravel()
+        rs = np.where(rs > 0, rs, 1.0)
+        P = (sp.diags(1.0 / rs) @ P).tocsr()
+    return P
+
+
+def _scipy_to_ell(A: sp.spmatrix, dtype) -> ELLOperator:
+    A = A.tocsr()
+    A.sum_duplicates()
+    widths = np.diff(A.indptr)
+    k = max(int(widths.max()) if len(widths) else 1, 1)
+    n = A.shape[0]
+    data = np.zeros((n, k), dtype=dtype)
+    cols = np.zeros((n, k), dtype=np.int32)
+    rows_of_nnz = np.repeat(np.arange(n), widths)
+    pos_in_row = np.arange(A.nnz) - np.repeat(A.indptr[:-1], widths)
+    data[rows_of_nnz, pos_in_row] = A.data
+    cols[rows_of_nnz, pos_in_row] = A.indices
+    return ELLOperator(jnp.asarray(data), jnp.asarray(cols), A.shape)
+
+
+# ---------------------------------------------------------------------------
+# device hierarchy
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AMGLevel:
+    """One V-cycle level. ``A`` is THIS level's (fine) operator — note the
+    reference stores it under the confusing name ``coarse_matrix``
+    (amg.rs:96-101, SURVEY quirk 8); we name it honestly."""
+
+    A: ELLOperator
+    P: ELLOperator  # prolongation (n_fine, n_coarse)
+    R: ELLOperator  # restriction = P^T (n_coarse, n_fine)
+    inv_diag: Array
+
+
+register_dataclass(AMGLevel, data_fields=["A", "P", "R", "inv_diag"], meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGPC:
+    levels: Tuple[AMGLevel, ...]
+    coarse_lu: Array
+    coarse_piv: Array
+    nu_pre: int = dataclasses.field(metadata=dict(static=True))
+    nu_post: int = dataclasses.field(metadata=dict(static=True))
+    smooth_omega: float = dataclasses.field(metadata=dict(static=True))
+
+    def _smooth(self, lvl: AMGLevel, z: Array, r: Array, nu: int) -> Array:
+        for _ in range(nu):
+            z = z + self.smooth_omega * lvl.inv_diag * (r - lvl.A.matvec(z))
+        return z
+
+    def _vcycle(self, l: int, r: Array) -> Array:
+        if l == len(self.levels):
+            return jsl.lu_solve((self.coarse_lu, self.coarse_piv), r)
+        lvl = self.levels[l]
+        z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre)
+        resid = r - lvl.A.matvec(z)  # amg.rs:213-224
+        rc = lvl.R.matvec(resid)  # amg.rs:226-227
+        zc = self._vcycle(l + 1, rc)  # amg.rs:229-234
+        z = z + lvl.P.matvec(zc)  # amg.rs:236-247
+        return self._smooth(lvl, z, r, self.nu_post)
+
+    def apply(self, r: Array) -> Array:
+        return self._vcycle(0, r)
+
+    @staticmethod
+    def setup(
+        a: CSRMatrix,
+        max_levels: int = 10,
+        coarse_size: int = 16,
+        theta: float = 0.08,
+        adaptive_theta: bool = True,
+        nu_pre: int = 1,
+        nu_post: int = 1,
+        smooth_omega: float = 2.0 / 3.0,
+        p_omega: float = 2.0 / 3.0,
+        row_normalize: bool = False,
+        dtype=None,
+    ) -> "AMGPC":
+        dtype = dtype or a.data.dtype
+        A = _to_scipy(a)
+        levels: List[AMGLevel] = []
+        for _ in range(max_levels):
+            if A.shape[0] <= coarse_size:
+                break
+            th = _adaptive_theta(A, theta) if adaptive_theta else theta
+            agg = _aggregate(A, th)
+            nc = int(agg.max()) + 1
+            if nc >= A.shape[0]:  # no coarsening progress
+                break
+            P = _smoothed_prolongation(A, agg, p_omega, row_normalize)
+            R = P.T.tocsr()
+            d = np.asarray(A.diagonal())
+            inv_d = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+            levels.append(
+                AMGLevel(
+                    A=_scipy_to_ell(A, dtype),
+                    P=_scipy_to_ell(P, dtype),
+                    R=_scipy_to_ell(R, dtype),
+                    inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                )
+            )
+            A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
+        coarse_dense = jnp.asarray(A.toarray().astype(dtype))
+        lu, piv = jsl.lu_factor(coarse_dense)
+        return AMGPC(
+            levels=tuple(levels),
+            coarse_lu=lu,
+            coarse_piv=piv,
+            nu_pre=nu_pre,
+            nu_post=nu_post,
+            smooth_omega=smooth_omega,
+        )
+
+
+register_dataclass(
+    AMGPC,
+    data_fields=["levels", "coarse_lu", "coarse_piv"],
+    meta_fields=["nu_pre", "nu_post", "smooth_omega"],
+)

@@ -1,0 +1,93 @@
+"""AMG tests (reference amg.rs:826-875 residual-reduction bounds, plus
+hierarchy sanity and PCG acceleration)."""
+import jax.numpy as jnp
+import numpy as np
+
+from kryst_tpu import cg, pcg
+from kryst_tpu.matrix import gallery
+from kryst_tpu.pc.amg import AMGPC
+
+
+def test_amg_hierarchy_shapes():
+    a = gallery.poisson_2d(24)  # 576 dof
+    pc = AMGPC.setup(a, coarse_size=20)
+    assert len(pc.levels) >= 2
+    n_prev = 576
+    for lvl in pc.levels:
+        nf, nc = lvl.P.shape
+        assert nf == n_prev
+        assert nc < nf  # genuine coarsening
+        assert lvl.R.shape == (nc, nf)
+        n_prev = nc
+    assert pc.coarse_lu.shape[0] == n_prev
+
+
+def test_amg_vcycle_contraction_rate():
+    # stationary V-cycle iteration must contract the residual fast
+    # (amg.rs:826-875 residual-reduction bounds)
+    a = gallery.poisson_2d(24)
+    A = a.to_ell()
+    pc = AMGPC.setup(a)
+    b = jnp.ones(576)
+    x = jnp.zeros(576)
+    for _ in range(5):
+        x = x + pc.apply(b - A.matvec(x))
+    r5 = float(jnp.linalg.norm(b - A.matvec(x)))
+    assert r5 < 0.05 * float(jnp.linalg.norm(b))  # >= 0.55/cycle contraction
+
+
+def test_amg_pcg_poisson_fast_convergence():
+    a = gallery.poisson_2d(32)  # 1024 dof
+    A = a.to_ell()
+    b = jnp.ones(1024)
+    pc = AMGPC.setup(a)
+    x, s_amg = pcg(A, b, M=pc, tol=1e-10, maxiter=200)
+    _, s_cg = cg(A, b, tol=1e-10, maxiter=500)
+    assert bool(s_amg.reached_tol)
+    # AMG should be dramatically better than plain CG
+    assert int(s_amg.iterations) < int(s_cg.iterations) / 2
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(1024)), atol=1e-6
+    )
+
+
+def test_amg_iteration_count_scales_mildly():
+    # near-optimal complexity: iterations grow slowly with n
+    its = []
+    for nx in (16, 32):
+        a = gallery.poisson_2d(nx)
+        A = a.to_ell()
+        b = jnp.ones(nx * nx)
+        pc = AMGPC.setup(a)
+        _, s = pcg(A, b, M=pc, tol=1e-8, maxiter=200)
+        assert bool(s.reached_tol)
+        its.append(int(s.iterations))
+    assert its[1] <= its[0] * 2  # far from the O(n^0.5) CG growth
+
+
+def test_amg_3d_poisson():
+    a = gallery.poisson_3d(8)  # 512 dof
+    A = a.to_ell()
+    b = jnp.ones(512)
+    pc = AMGPC.setup(a)
+    x, s = pcg(A, b, M=pc, tol=1e-9, maxiter=200)
+    assert bool(s.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(512)), atol=1e-6
+    )
+
+
+def test_amg_is_jittable():
+    import jax
+
+    a = gallery.poisson_2d(16)
+    A = a.to_ell()
+    b = jnp.ones(256)
+    pc = AMGPC.setup(a)
+
+    @jax.jit
+    def solve(A, b, pc):
+        return pcg(A, b, M=pc, tol=1e-8, maxiter=100)
+
+    x, s = solve(A, b, pc)
+    assert bool(s.reached_tol)
