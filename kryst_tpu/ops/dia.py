@@ -1,0 +1,274 @@
+"""DIA (sparse-diagonal) operator with a gather-free Pallas TPU kernel.
+
+Why this format: XLA lowers arbitrary gathers to a ~7.5 ns/element serial
+loop on TPU (measured on v5e — 2 GB/s effective, 400x off the HBM
+roofline), so the classic CSR/ELL gather SpMV cannot be the hot-path
+format. A matrix stored by sparse diagonals needs NO gather at all:
+
+    y[i] = sum_d data[d, i] * x[i + off_d]
+
+Every term is a statically-offset contiguous vector load — pure VPU work.
+The Pallas kernel keeps the (padded) x vector resident in VMEM and walks
+the offsets in an unrolled loop per output block, so the whole SpMV is one
+kernel launch at HBM-bandwidth cost. This covers stencil matrices exactly
+(Poisson 5/7-point, convection-diffusion) and any reordered matrix with a
+bounded set of distinct diagonal offsets (structured-aggregation multigrid
+hierarchies, banded FEM after RCM).
+
+Convention: ``data[d, i] = A[i, i + offsets[d]]`` (row-major diagonal
+storage); out-of-range entries are zero.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.tree_util import register_dataclass
+
+from kryst_tpu.matrix.csr import CSRMatrix
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class DIAOperator:
+    """Square sparse-diagonal operator."""
+
+    data: Array  # (ndiag, n)
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x: Array) -> Array:
+        # Both paths are gather-free. The XLA shifted-slice path emits ~5
+        # HLO ops per diagonal — fine for stencils (7 offsets), ruinous for
+        # multigrid coarse operators (125 offsets -> minutes of compile).
+        # The rolled Pallas kernel is O(#offset-groups) HLO ops.
+        if not _on_cpu() and len(self.offsets) > 8:
+            return dia_spmv_rolled(self.data, self.offsets, x)
+        return dia_spmv_xla(self.data, self.offsets, x)
+
+    def rmatvec(self, x: Array) -> Array:
+        # A^T in DIA: diagonal d of A^T at offset -d, shifted by d:
+        # A^T[i, i-d] = A[i-d, i] = data[d, i-d]
+        n = self.n
+        data_t = []
+        for k, off in enumerate(self.offsets):
+            row = self.data[k]
+            if off >= 0:
+                shifted = jnp.concatenate([jnp.zeros(off, row.dtype), row[: n - off]])
+            else:
+                shifted = jnp.concatenate([row[-off:], jnp.zeros(-off, row.dtype)])
+            data_t.append(shifted)
+        data_t = jnp.stack(data_t)
+        offs_t = tuple(-o for o in self.offsets)
+        return dia_spmv_xla(data_t, offs_t, x)
+
+    def diagonal(self) -> Array:
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros(self.n, dtype=self.data.dtype)
+
+    def todense(self) -> Array:
+        out = jnp.zeros((self.n, self.n), dtype=self.data.dtype)
+        idx = jnp.arange(self.n)
+        for k, off in enumerate(self.offsets):
+            valid = (idx + off >= 0) & (idx + off < self.n)
+            rows = jnp.where(valid, idx, 0)
+            cols = jnp.where(valid, idx + off, 0)
+            out = out.at[rows, cols].add(jnp.where(valid, self.data[k], 0.0))
+        return out
+
+
+register_dataclass(DIAOperator, data_fields=["data"], meta_fields=["offsets", "n"])
+
+
+def dia_spmv_xla(data: Array, offsets: Tuple[int, ...], x: Array) -> Array:
+    """Reference path: shifted slices + weighted sum (runs anywhere)."""
+    n = x.shape[0]
+    acc = jnp.zeros_like(x)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            acc = acc + data[k] * x
+        elif off > 0:
+            seg = data[k, : n - off] * x[off:]
+            acc = acc + jnp.concatenate([seg, jnp.zeros(off, x.dtype)])
+        else:
+            seg = data[k, -off:] * x[: n + off]
+            acc = acc + jnp.concatenate([jnp.zeros(-off, x.dtype), seg])
+    return acc
+
+
+def _dia_kernel(offsets, pad, blk, x_ref, d_ref, o_ref):
+    """One output block: load ONE aligned window (Mosaic vector loads must
+    be alignment-multiples), then slice it in-register per offset."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    w = x_ref[pl.ds(i * blk, blk + 2 * pad)]  # aligned: blk, pad % 1024 == 0
+    o0 = pad + offsets[0]
+    acc = d_ref[0] * w[o0 : o0 + blk]
+    for k in range(1, len(offsets)):
+        ok = pad + offsets[k]
+        acc += d_ref[k] * w[ok : ok + blk]
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+def dia_spmv_pallas(data: Array, offsets: Tuple[int, ...], x: Array, block: int = 8192):
+    """Single-launch DIA SpMV: padded x fully in VMEM, static-offset loads.
+
+    Valid while the padded x fits in VMEM (~4M f32). Larger vectors fall
+    back to the XLA path (still correct, more launches).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    maxoff = max(max(abs(o) for o in offsets), 1)
+    pad = ((maxoff + 1023) // 1024) * 1024  # alignment for Mosaic loads
+    if n + 2 * pad > 3_500_000:
+        return dia_spmv_xla(data, offsets, x)
+    blk = block
+    while n % blk != 0:
+        blk //= 2
+        if blk < 1024:
+            return dia_spmv_xla(data, offsets, x)
+    xp = jnp.pad(x, (pad, pad))
+    kern = functools.partial(_dia_kernel, offsets, pad, blk)
+    return pl.pallas_call(
+        kern,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
+            pl.BlockSpec(
+                (len(offsets), blk), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+    )(xp, data)
+
+
+def _dia_rolled_kernel(offsets, m, x_ref, d_ref, o_ref):
+    """Whole-vector DIA SpMV via in-register rolls (no gathers, no
+    alignment-sensitive loads).
+
+    x is viewed as (m, 128). A flat shift by ``off = q*128 + r`` is a
+    sublane roll by -q plus, for r != 0, a lane roll by -r with a
+    one-row carry fix on the wrapped lanes. Wrap-around values are
+    harmless: DIA coefficients are zero wherever i+off is out of range.
+    """
+    import jax.lax as lax_
+    from jax.experimental.pallas import tpu as pltpu
+
+    X = x_ref[...]
+    lane = lax_.broadcasted_iota(jnp.int32, (m, 128), 1)
+    acc = None
+    for k, off in enumerate(offsets):
+        q, r = divmod(off, 128)
+        # pltpu.roll takes non-negative shifts; rolls are circular so
+        # a shift of -s is (axis_len - s) % axis_len
+        Y = pltpu.roll(X, (-q) % m, axis=0) if q % m else X
+        if r:
+            Y1 = pltpu.roll(Y, (-r) % 128, axis=1)
+            Y2 = pltpu.roll(Y1, m - 1, axis=0)
+            Y = jnp.where(lane < 128 - r, Y1, Y2)
+        term = d_ref[k] * Y
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "group"))
+def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int = 16):
+    """DIA SpMV as a handful of Pallas launches (one per offset group that
+    fits VMEM together with x). HLO size is O(#groups), not O(ndiag) — the
+    XLA shifted-slice path emits ~5 ops per diagonal, which at 125-diagonal
+    multigrid coarse operators exploded compile times."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    m = -(-n // 128)
+    m = -(-m // 8) * 8  # sublane-tile friendly
+    npad = m * 128
+    X = jnp.pad(x, (0, npad - n)).reshape(m, 128)
+    D = jnp.pad(data, ((0, 0), (0, npad - n))).reshape(len(offsets), m, 128)
+    # VMEM budget: x + group coefficient planes + out
+    vmem_f32 = 3_000_000
+    grp = max(1, min(group, (vmem_f32 - 2 * npad) // npad))
+    out = None
+    for g0 in range(0, len(offsets), grp):
+        offs_g = offsets[g0 : g0 + grp]
+        kern = functools.partial(_dia_rolled_kernel, offs_g, m)
+        y = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, 128), x.dtype),
+        )(X, D[g0 : g0 + grp])
+        out = y if out is None else out + y
+    return out.reshape(npad)[:n]
+
+
+def csr_to_dia(
+    a: CSRMatrix, max_offsets: int = 512, dtype=None
+) -> DIAOperator:
+    """Convert host CSR to DIA. Raises if the matrix has more than
+    ``max_offsets`` distinct diagonals (DIA would waste too much memory)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape
+    ).tocoo()
+    dtype = dtype or a.data.dtype
+    n = a.shape[0]
+    offs = np.unique(A.col - A.row)
+    if len(offs) > max_offsets:
+        raise ValueError(
+            f"matrix has {len(offs)} distinct diagonals (> {max_offsets}); "
+            "DIA is not a sensible format — use ELL or reorder first"
+        )
+    data = np.zeros((len(offs), n), dtype=dtype)
+    pos = {int(o): k for k, o in enumerate(offs)}
+    for r, c, v in zip(A.row, A.col, A.data):
+        data[pos[int(c - r)], r] += v
+    return DIAOperator(
+        jnp.asarray(data), tuple(int(o) for o in offs), n
+    )
+
+
+def scipy_to_dia(A, max_offsets: int = 512, dtype=np.float32) -> DIAOperator:
+    """scipy.sparse -> DIAOperator (row-major diagonal convention)."""
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(A)
+    n = A.shape[0]
+    offs = np.unique(coo.col - coo.row)
+    if len(offs) > max_offsets:
+        raise ValueError(f"{len(offs)} distinct diagonals > {max_offsets}")
+    data = np.zeros((len(offs), n), dtype=dtype)
+    pos = {int(o): k for k, o in enumerate(offs)}
+    np.add.at(
+        data,
+        (np.array([pos[int(o)] for o in (coo.col - coo.row)]), coo.row),
+        coo.data.astype(dtype),
+    )
+    return DIAOperator(jnp.asarray(data), tuple(int(o) for o in offs), n)

@@ -176,8 +176,7 @@ register_dataclass(AMGLevel, data_fields=["A", "P", "R", "inv_diag"], meta_field
 @dataclasses.dataclass(frozen=True)
 class AMGPC:
     levels: Tuple[AMGLevel, ...]
-    coarse_lu: Array
-    coarse_piv: Array
+    coarse_inv: Array  # explicit inverse, computed on HOST in f64
     nu_pre: int = dataclasses.field(metadata=dict(static=True))
     nu_post: int = dataclasses.field(metadata=dict(static=True))
     smooth_omega: float = dataclasses.field(metadata=dict(static=True))
@@ -189,7 +188,12 @@ class AMGPC:
 
     def _vcycle(self, l: int, r: Array) -> Array:
         if l == len(self.levels):
-            return jsl.lu_solve((self.coarse_lu, self.coarse_piv), r)
+            # host-f64 explicit inverse + HIGHEST-precision matmul: device
+            # f32 LU on TPU runs at reduced matmul precision and breaks the
+            # PC's SPD property (see pc/gmg.py)
+            import jax.lax as lax_
+
+            return jnp.dot(self.coarse_inv, r, precision=lax_.Precision.HIGHEST)
         lvl = self.levels[l]
         z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre)
         resid = r - lvl.A.matvec(z)  # amg.rs:213-224
@@ -239,12 +243,10 @@ class AMGPC:
                 )
             )
             A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
-        coarse_dense = jnp.asarray(A.toarray().astype(dtype))
-        lu, piv = jsl.lu_factor(coarse_dense)
+        coarse_inv = np.linalg.inv(A.toarray())  # host, f64
         return AMGPC(
             levels=tuple(levels),
-            coarse_lu=lu,
-            coarse_piv=piv,
+            coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
             nu_pre=nu_pre,
             nu_post=nu_post,
             smooth_omega=smooth_omega,
@@ -253,6 +255,6 @@ class AMGPC:
 
 register_dataclass(
     AMGPC,
-    data_fields=["levels", "coarse_lu", "coarse_piv"],
+    data_fields=["levels", "coarse_inv"],
     meta_fields=["nu_pre", "nu_post", "smooth_omega"],
 )

@@ -19,7 +19,7 @@ def test_amg_hierarchy_shapes():
         assert nc < nf  # genuine coarsening
         assert lvl.R.shape == (nc, nf)
         n_prev = nc
-    assert pc.coarse_lu.shape[0] == n_prev
+    assert pc.coarse_inv.shape[0] == n_prev
 
 
 def test_amg_vcycle_contraction_rate():

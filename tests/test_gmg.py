@@ -1,0 +1,137 @@
+"""DIA operator and geometric multigrid tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from kryst_tpu import cg, pcg
+from kryst_tpu.matrix import gallery
+from kryst_tpu.matrix.csr import CSRMatrix
+from kryst_tpu.ops.dia import DIAOperator, csr_to_dia, dia_spmv_xla
+from kryst_tpu.pc.gmg import GMGPC, _downsample_sum, _upsample
+
+
+def test_dia_matvec_matches_csr():
+    a = gallery.poisson_3d(6)
+    A = csr_to_dia(a)
+    x = np.random.default_rng(0).standard_normal(216)
+    np.testing.assert_allclose(
+        np.asarray(A.matvec(jnp.asarray(x))), a.spmv(x), rtol=1e-12
+    )
+
+
+def test_dia_rmatvec_nonsymmetric():
+    a = gallery.convection_diffusion_2d(8)
+    A = csr_to_dia(a)
+    x = np.random.default_rng(1).standard_normal(64)
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(jnp.asarray(x))), a.transpose().spmv(x), rtol=1e-10
+    )
+
+
+def test_dia_diagonal_and_dense():
+    a = gallery.tridiag(10)
+    A = csr_to_dia(a)
+    np.testing.assert_allclose(np.asarray(A.diagonal()), np.full(10, 2.0))
+    np.testing.assert_allclose(np.asarray(A.todense()), a.todense())
+
+
+def test_dia_cg_solve():
+    a = gallery.poisson_2d(16)
+    A = csr_to_dia(a)
+    b = jnp.ones(256)
+    x, s = cg(A, b, tol=1e-10, maxiter=500)
+    assert bool(s.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(256)), atol=1e-6
+    )
+
+
+def test_upsample_downsample_adjoint():
+    # <P0 xc, xf> == <xc, P0^T xf>
+    rng = np.random.default_rng(2)
+    fine, coarse = (7, 6), (4, 3)
+    xc = jnp.asarray(rng.standard_normal(12))
+    xf = jnp.asarray(rng.standard_normal(42))
+    lhs = float(jnp.dot(_upsample(xc, coarse, fine), xf))
+    rhs = float(jnp.dot(xc, _downsample_sum(xf, coarse, fine)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_gmg_transfer_matches_host_P():
+    # device prolong/restrict must equal the host P / P^T used for RAP
+    import scipy.sparse as sp
+
+    a = gallery.poisson_2d(9)
+    pc = GMGPC.setup(a, grid=(9, 9), coarse_size=4)
+    lvl = pc.levels[0]
+    n = 81
+    nc = int(np.prod(lvl.coarse))
+    A = sp.csr_matrix((a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape)
+    idx = np.indices(lvl.fine)
+    agg = np.ravel_multi_index([ix.reshape(-1) // 2 for ix in idx], lvl.coarse)
+    P0 = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+    d = np.asarray(A.diagonal())
+    P = (P0 - lvl.p_omega * (sp.diags(1.0 / d) @ (A @ P0))).tocsr()
+    rng = np.random.default_rng(3)
+    xc = rng.standard_normal(nc)
+    np.testing.assert_allclose(
+        np.asarray(lvl.prolong(jnp.asarray(xc))), P @ xc, atol=1e-10
+    )
+    xf = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(lvl.restrict(jnp.asarray(xf))), P.T @ xf, atol=1e-10
+    )
+
+
+def test_gmg_pcg_2d():
+    a = gallery.poisson_2d(32)
+    A = csr_to_dia(a)
+    b = jnp.ones(1024)
+    pc = GMGPC.setup(a, grid=(32, 32))
+    x, s = pcg(A, b, M=pc, tol=1e-10, maxiter=100)
+    assert bool(s.reached_tol)
+    assert int(s.iterations) <= 20
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(1024)), atol=1e-6
+    )
+
+
+def test_gmg_pcg_3d():
+    a = gallery.poisson_3d(12)
+    A = csr_to_dia(a)
+    b = jnp.ones(12**3)
+    pc = GMGPC.setup(a, grid=(12, 12, 12), nu_pre=2, nu_post=2)
+    x, s = pcg(A, b, M=pc, tol=1e-9, maxiter=100)
+    assert bool(s.reached_tol)
+    assert int(s.iterations) <= 15
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(12**3)), atol=1e-6
+    )
+
+
+def test_gmg_iteration_count_grid_independent():
+    its = []
+    for nx in (16, 32, 48):
+        a = gallery.poisson_2d(nx)
+        A = csr_to_dia(a)
+        b = jnp.ones(nx * nx)
+        pc = GMGPC.setup(a, grid=(nx, nx), nu_pre=2, nu_post=2, coarse_size=16)
+        _, s = pcg(A, b, M=pc, tol=1e-8, maxiter=100)
+        assert bool(s.reached_tol)
+        its.append(int(s.iterations))
+    # multigrid: h-independent iteration counts (within slack)
+    assert max(its) - min(its) <= 3, its
+
+
+def test_gmg_convection_diffusion():
+    # nonsymmetric stencil problem through the same machinery (GMRES)
+    from kryst_tpu.solvers.gmres import gmres
+
+    a = gallery.convection_diffusion_2d(24)
+    A = csr_to_dia(a)
+    b = jnp.ones(576)
+    pc = GMGPC.setup(a, grid=(24, 24))
+    x, s = gmres(A, b, M=pc, side="right", tol=1e-9, maxiter=100, restart=20)
+    assert bool(s.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(576)), atol=1e-5
+    )
