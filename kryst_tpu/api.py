@@ -1,0 +1,357 @@
+"""Top-level factory API.
+
+TPU-native redesign of the reference's context layer
+(src/context/ksp_context.rs, src/context/pc_context.rs,
+src/config/options.rs): declarative solver/preconditioner selection plus a
+single functional entry point.
+
+    x, stats = solve(A, b, solver="pcg", pc="jacobi", tol=1e-8)
+
+or the stateful mirror of ``KspContext::solve_context``
+(ksp_context.rs:88-148):
+
+    ksp = KSP(SolverKind.GMRES_LEFT, pc=PCConfig.ilu0(), restart=30)
+    x, stats = ksp.solve(A_host, b)
+
+Differences from the reference (documented):
+- Direct LU/QR *are* dispatchable kinds here (the reference leaves them
+  out of SolverKind, ksp_context.rs:25-48).
+- ``PC.Multicolor`` in the reference has no implementation
+  (pc_context.rs:64, SURVEY §2.4); here "multicolor" builds block-Jacobi
+  blocks from a distance-2 coloring — the composition the reference's
+  coloring utils were written for.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from kryst_tpu.core.linop import as_operator
+from kryst_tpu.matrix.csr import CSRMatrix
+from kryst_tpu.solvers.bicgstab import bicgstab
+from kryst_tpu.solvers.cg import cg, pcg
+from kryst_tpu.solvers.cgnr import cgne, cgnr
+from kryst_tpu.solvers.cgs import cgs
+from kryst_tpu.solvers.direct import lu_solve, qr_solve
+from kryst_tpu.solvers.gmres import fgmres, gmres
+from kryst_tpu.solvers.minres import minres
+from kryst_tpu.solvers.qmr import qmr
+from kryst_tpu.solvers.tfqmr import tfqmr
+
+
+class SolverKind(enum.Enum):
+    """Dispatchable solver kinds (reference SolverKind, ksp_context.rs:25-48)."""
+
+    CG = "cg"
+    PCG = "pcg"
+    GMRES_LEFT = "gmres_left"
+    GMRES_RIGHT = "gmres_right"
+    FGMRES = "fgmres"
+    BICGSTAB = "bicgstab"
+    CGS = "cgs"
+    QMR = "qmr"
+    TFQMR = "tfqmr"
+    MINRES = "minres"
+    CGNR = "cgnr"
+    CGNE = "cgne"
+    LU = "lu"
+    QR = "qr"
+    PIPECG = "pipecg"
+    CA_GMRES = "ca_gmres"
+
+
+@dataclasses.dataclass(frozen=True)
+class PCConfig:
+    """Declarative preconditioner config (reference PC enum,
+    pc_context.rs:36-76). Build one via the classmethods, then
+    ``build(A_host, A_device)`` produces the state pytree."""
+
+    kind: str
+    params: tuple = ()
+
+    # -- constructors mirroring pc_context.rs:36-76 --------------------
+    @classmethod
+    def none(cls):
+        return cls("none")
+
+    @classmethod
+    def jacobi(cls):
+        return cls("jacobi")
+
+    @classmethod
+    def ssor(cls, omega: float = 1.0, its: int = 1):
+        return cls("ssor", (("omega", omega), ("its", its)))
+
+    @classmethod
+    def sor(cls, omega: float = 1.0, its: int = 1):
+        return cls("sor", (("omega", omega), ("its", its)))
+
+    @classmethod
+    def ilu0(cls):
+        return cls("ilu0")
+
+    @classmethod
+    def ilup(cls, fill: int = 1):
+        return cls("ilup", (("fill", fill),))
+
+    @classmethod
+    def ilut(cls, fill: int = 10, droptol: float = 1e-4):
+        return cls("ilut", (("fill", fill), ("droptol", droptol)))
+
+    @classmethod
+    def chebyshev(cls, degree: int = 10, emin=None, emax=None):
+        return cls("chebyshev", (("degree", degree), ("emin", emin), ("emax", emax)))
+
+    @classmethod
+    def approx_inv(cls):
+        return cls("spai")
+
+    @classmethod
+    def block_jacobi(cls, nblocks: int = 8):
+        return cls("block_jacobi", (("nblocks", nblocks),))
+
+    @classmethod
+    def multicolor(cls):
+        return cls("multicolor")
+
+    @classmethod
+    def amg(cls, **kw):
+        return cls("amg", tuple(sorted(kw.items())))
+
+    @classmethod
+    def gmg(cls, grid, **kw):
+        return cls("gmg", (("grid", tuple(grid)),) + tuple(sorted(kw.items())))
+
+    @classmethod
+    def additive_schwarz(cls, nblocks: int = 8, overlap: int = 1):
+        return cls("asm", (("nblocks", nblocks), ("overlap", overlap)))
+
+    # -- builder --------------------------------------------------------
+    def build(self, a_host: Optional[CSRMatrix], A_device=None, dtype=None):
+        """Construct the preconditioner state. ``a_host`` (CSR) is needed
+        by setup-heavy PCs (ILU/SOR/AMG/...); ``A_device`` suffices for
+        Jacobi/Chebyshev."""
+        kw = dict(self.params)
+        kind = self.kind
+        if kind == "none":
+            return None
+        if kind == "jacobi":
+            from kryst_tpu.pc.jacobi import JacobiPC
+
+            src = A_device if A_device is not None else a_host.to_ell(dtype=dtype)
+            return JacobiPC.setup(src)
+        if kind == "chebyshev":
+            from kryst_tpu.pc.chebyshev import ChebyshevPC
+
+            src = A_device if A_device is not None else a_host.to_ell(dtype=dtype)
+            return ChebyshevPC.setup(
+                src, degree=kw.get("degree", 10), emin=kw.get("emin"),
+                emax=kw.get("emax"),
+            )
+        if a_host is None:
+            raise ValueError(f"PC {kind!r} requires the host CSR matrix")
+        if kind in ("ssor", "sor"):
+            from kryst_tpu.pc.sor import SORPC, SweepType
+
+            sweep = SweepType.SYMMETRIC if kind == "ssor" else SweepType.FORWARD
+            return SORPC.setup(
+                a_host, omega=kw.get("omega", 1.0), its=kw.get("its", 1),
+                sweep=sweep, dtype=dtype,
+            )
+        if kind == "ilu0":
+            from kryst_tpu.pc.ilu import ilu0
+
+            return ilu0(a_host, dtype=dtype)
+        if kind == "ilup":
+            from kryst_tpu.pc.ilu import ilup
+
+            return ilup(a_host, fill=kw.get("fill", 1), dtype=dtype)
+        if kind == "ilut":
+            from kryst_tpu.pc.ilu import ilut
+
+            return ilut(
+                a_host, fill=kw.get("fill", 10),
+                droptol=kw.get("droptol", 1e-4), dtype=dtype,
+            )
+        if kind == "spai":
+            from kryst_tpu.pc.spai import spai_setup
+
+            return spai_setup(a_host, dtype=dtype)
+        if kind == "block_jacobi":
+            from kryst_tpu.pc.block_jacobi import BlockJacobiPC
+
+            return BlockJacobiPC.setup(a_host, nblocks=kw.get("nblocks", 8), dtype=dtype)
+        if kind == "multicolor":
+            from kryst_tpu.pc.block_jacobi import BlockJacobiPC
+            from kryst_tpu.pc.coloring import build_blocks_from_colors, color_graph
+
+            blocks = build_blocks_from_colors(color_graph(a_host, distance=2))
+            return BlockJacobiPC.setup(a_host, blocks=blocks, dtype=dtype)
+        if kind == "asm":
+            from kryst_tpu.pc.asm import AdditiveSchwarzPC
+
+            return AdditiveSchwarzPC.setup(
+                a_host, nblocks=kw.get("nblocks", 8),
+                overlap=kw.get("overlap", 1), dtype=dtype,
+            )
+        if kind == "amg":
+            from kryst_tpu.pc.amg import AMGPC
+
+            return AMGPC.setup(a_host, dtype=dtype, **{k: v for k, v in kw.items()})
+        if kind == "gmg":
+            from kryst_tpu.pc.gmg import GMGPC
+
+            kw2 = dict(kw)
+            grid = kw2.pop("grid")
+            return GMGPC.setup(a_host, grid=grid, dtype=dtype, **kw2)
+        raise ValueError(f"unknown preconditioner kind {kind!r}")
+
+
+_PC_ALIASES = {
+    "none": PCConfig.none,
+    "jacobi": PCConfig.jacobi,
+    "ssor": PCConfig.ssor,
+    "sor": PCConfig.sor,
+    "ilu0": PCConfig.ilu0,
+    "ilup": PCConfig.ilup,
+    "ilut": PCConfig.ilut,
+    "chebyshev": PCConfig.chebyshev,
+    "spai": PCConfig.approx_inv,
+    "approx_inv": PCConfig.approx_inv,
+    "block_jacobi": PCConfig.block_jacobi,
+    "multicolor": PCConfig.multicolor,
+    "amg": PCConfig.amg,
+    "asm": PCConfig.additive_schwarz,
+    "additive_schwarz": PCConfig.additive_schwarz,
+}
+
+
+def _resolve_pc(pc, a_host, A_device, dtype):
+    if pc is None or hasattr(pc, "apply"):
+        return pc
+    if isinstance(pc, PCConfig):
+        return pc.build(a_host, A_device, dtype)
+    if isinstance(pc, str):
+        if pc not in _PC_ALIASES:
+            raise ValueError(
+                f"unknown pc {pc!r}; expected one of {sorted(_PC_ALIASES)}"
+            )
+        return _PC_ALIASES[pc]().build(a_host, A_device, dtype)
+    raise TypeError(f"cannot interpret preconditioner: {pc!r}")
+
+
+def solve(
+    A,
+    b,
+    x0=None,
+    *,
+    solver: SolverKind | str = SolverKind.CG,
+    pc: Any = None,
+    a_host: Optional[CSRMatrix] = None,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = None,
+    restart: int = 30,
+    **options,
+):
+    """One-call functional entry point (the ``solve_context`` analogue,
+    ksp_context.rs:88-148).
+
+    ``A`` may be a device operator/array; ``a_host`` optionally carries the
+    host CSR for setup-heavy PCs. ``pc`` is None, a state with ``.apply``,
+    a :class:`PCConfig`, or a string alias.
+    """
+    kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
+    if isinstance(A, CSRMatrix):
+        a_host = A
+        A = A.to_ell()
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    M = _resolve_pc(pc, a_host, A, dtype)
+    mi = maxiter if maxiter is not None else max(b.shape[0], 100)
+
+    if kind == SolverKind.CG:
+        return cg(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.PCG:
+        return pcg(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
+    if kind in (SolverKind.GMRES_LEFT, SolverKind.GMRES_RIGHT):
+        side = "left" if kind == SolverKind.GMRES_LEFT else "right"
+        return gmres(
+            A, b, x0, M=M, side=side, tol=tol, maxiter=mi, restart=restart,
+            **options,
+        )
+    if kind == SolverKind.FGMRES:
+        return fgmres(A, b, x0, M=M, tol=tol, maxiter=mi, restart=restart, **options)
+    if kind == SolverKind.BICGSTAB:
+        return bicgstab(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.CGS:
+        return cgs(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.QMR:
+        return qmr(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.TFQMR:
+        return tfqmr(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.MINRES:
+        return minres(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.CGNR:
+        return cgnr(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.CGNE:
+        return cgne(A, b, x0, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.LU:
+        return lu_solve(A, b)
+    if kind == SolverKind.QR:
+        return qr_solve(A, b)
+    if kind == SolverKind.PIPECG:
+        from kryst_tpu.solvers.pipelined import pipecg
+
+        return pipecg(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
+    if kind == SolverKind.CA_GMRES:
+        from kryst_tpu.solvers.ca_gmres import ca_gmres
+
+        return ca_gmres(
+            A, b, x0, M=M, tol=tol, maxiter=mi, restart=restart, **options
+        )
+    raise ValueError(f"unhandled solver kind: {kind}")
+
+
+@dataclasses.dataclass
+class KSP:
+    """Stateful context mirroring ``KspContext`` (ksp_context.rs:54-69).
+
+    Holds the solver kind, tolerance, iteration cap, restart length and a
+    PC config; ``solve`` builds the PC once (cached) and dispatches.
+    """
+
+    kind: SolverKind = SolverKind.CG
+    pc: Any = None
+    tol: float = 1e-8
+    max_it: Optional[int] = None
+    restart: int = 30
+    options: dict = dataclasses.field(default_factory=dict)
+    _pc_state: Any = dataclasses.field(default=None, repr=False)
+
+    def setup(self, a_host: Optional[CSRMatrix] = None, A_device=None, dtype=None):
+        """Build and cache the preconditioner state."""
+        self._pc_state = _resolve_pc(self.pc, a_host, A_device, dtype)
+        return self._pc_state
+
+    def solve(self, A, b, x0=None):
+        a_host = A if isinstance(A, CSRMatrix) else None
+        if self._pc_state is None and self.pc is not None:
+            dev = None if a_host is not None else as_operator(A)
+            self.setup(a_host, dev, jnp.asarray(b).dtype)
+        return solve(
+            A,
+            b,
+            x0,
+            solver=self.kind,
+            pc=self._pc_state,
+            a_host=a_host,
+            tol=self.tol,
+            maxiter=self.max_it,
+            restart=self.restart,
+            **self.options,
+        )

@@ -1,0 +1,47 @@
+"""Device-mesh helpers.
+
+TPU-native replacement for the reference's ``Comm`` trait hierarchy
+(src/parallel/mod.rs:4-35, mpi_comm.rs, rayon_comm.rs): rank/size become
+``lax.axis_index`` / mesh axis size, ``all_reduce`` becomes ``lax.psum``
+over an ICI mesh axis, scatter/gather become shardings. A single-device
+mesh reproduces RayonComm's no-op collectives (rayon_comm.rs:76-78)
+without any code change — psum over a size-1 axis is the identity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "shards"
+
+
+def solver_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return jax.make_mesh(
+        (n,), (axis,),
+        axis_types=(jax.sharding.AxisType.Auto,),
+        devices=devs[:n],
+    )
+
+
+def shard_vector(x, mesh: Mesh, axis: str = AXIS):
+    """Place a vector with its leading dim sharded over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def axis_rank(axis: str = AXIS):
+    """Rank within the mesh axis (Comm::rank analogue); traced value."""
+    return jax.lax.axis_index(axis)
+
+
+def axis_size_of(mesh: Mesh, axis: str = AXIS) -> int:
+    return mesh.shape[axis]

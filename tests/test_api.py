@@ -1,0 +1,154 @@
+"""API/factory layer + pipelined/CA solver tests (reference
+ksp_context.rs, pc_context.rs, pca_gmres.rs:335-356)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kryst_tpu.api import KSP, PCConfig, SolverKind, solve
+from kryst_tpu.matrix import gallery
+from kryst_tpu.solvers.ca_gmres import ca_gmres
+from kryst_tpu.solvers.cg import pcg
+from kryst_tpu.solvers.pipelined import pipecg
+
+
+def test_solve_dispatch_all_iterative_kinds():
+    # the solver x pc compatibility sweep through the factory
+    a = gallery.poisson_2d(8)
+    b = jnp.ones(64)
+    expected = np.linalg.solve(a.todense(), np.ones(64))
+    for kind in (
+        SolverKind.CG, SolverKind.PCG, SolverKind.GMRES_LEFT,
+        SolverKind.GMRES_RIGHT, SolverKind.FGMRES, SolverKind.BICGSTAB,
+        SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR, SolverKind.MINRES,
+        SolverKind.CGNR, SolverKind.PIPECG,
+    ):
+        x, stats = solve(a, b, solver=kind, pc="jacobi", tol=1e-9, maxiter=400)
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-4, err_msg=str(kind))
+
+
+def test_solve_direct_kinds():
+    a = gallery.random_nonsymmetric(20)
+    b = np.ones(20)
+    for kind in (SolverKind.LU, SolverKind.QR):
+        x, stats = solve(jnp.asarray(a), jnp.asarray(b), solver=kind)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-8)
+
+
+def test_solve_string_aliases():
+    a = gallery.poisson_2d(8)
+    b = jnp.ones(64)
+    x, stats = solve(a, b, solver="pcg", pc="ilu0", tol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(64)), atol=1e-6
+    )
+    assert bool(stats.reached_tol)
+
+
+def test_solve_unknown_pc_raises():
+    a = gallery.poisson_2d(4)
+    with pytest.raises(ValueError, match="unknown pc"):
+        solve(a, jnp.ones(16), solver="pcg", pc="nope")
+
+
+def test_pcconfig_builders():
+    a = gallery.poisson_2d(8)
+    b = jnp.ones(64)
+    expected = np.linalg.solve(a.todense(), np.ones(64))
+    for cfg in (
+        PCConfig.jacobi(), PCConfig.ssor(omega=1.2), PCConfig.ilu0(),
+        PCConfig.ilup(fill=1), PCConfig.block_jacobi(nblocks=4),
+        PCConfig.additive_schwarz(nblocks=4, overlap=1),
+        PCConfig.multicolor(), PCConfig.amg(),
+    ):
+        x, stats = solve(a, b, solver="pcg", pc=cfg, tol=1e-9, maxiter=400)
+        np.testing.assert_allclose(
+            np.asarray(x), expected, atol=1e-5, err_msg=cfg.kind
+        )
+
+
+def test_ksp_context_caches_pc():
+    # KspContext analogue: PC built once, reused (ksp_context.rs:54-69)
+    a = gallery.poisson_2d(10)
+    ksp = KSP(SolverKind.PCG, pc=PCConfig.ilu0(), tol=1e-10)
+    b1 = jnp.ones(100)
+    x1, s1 = ksp.solve(a, b1)
+    state = ksp._pc_state
+    assert state is not None
+    x2, s2 = ksp.solve(a, 2.0 * b1)
+    assert ksp._pc_state is state  # cached, not rebuilt
+    np.testing.assert_allclose(np.asarray(x2), 2 * np.asarray(x1), atol=1e-7)
+
+
+# ------------------------------------------------------------- pipelined CG
+def test_pipecg_matches_pcg():
+    a = gallery.poisson_2d(12)
+    A = a.to_ell()
+    b = jnp.ones(144)
+    from kryst_tpu import JacobiPC
+
+    M = JacobiPC.setup(A)
+    x1, s1 = pcg(A, b, M=M, tol=1e-9, maxiter=300)
+    x2, s2 = pipecg(A, b, M=M, tol=1e-9, maxiter=300)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+    # iteration parity within the pipelined lag
+    assert abs(int(s1.iterations) - int(s2.iterations)) <= 3
+
+
+def test_pipecg_unpreconditioned():
+    a = gallery.tridiag(30)
+    A = a.to_dense_operator()
+    b = jnp.ones(30)
+    x, s = pipecg(A, b, tol=1e-10, maxiter=100)
+    assert bool(s.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(30)), atol=1e-7
+    )
+
+
+# ------------------------------------------------------------- CA-GMRES
+def test_ca_gmres_small():
+    # reference pca_gmres.rs:335-356 solves a tiny system
+    A = jnp.array([[4.0, 1.0, 0.0], [1.0, 3.0, 1.0], [0.0, 1.0, 2.0]])
+    b = jnp.array([1.0, 2.0, 3.0])
+    x, stats = ca_gmres(A, b, tol=1e-10, maxiter=50, restart=3)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), atol=1e-8
+    )
+
+
+def test_ca_gmres_poisson():
+    a = gallery.poisson_2d(12)
+    A = a.to_ell()
+    b = jnp.ones(144)
+    x, stats = ca_gmres(A, b, tol=1e-8, maxiter=600, restart=8)
+    assert bool(stats.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(144)), atol=1e-5
+    )
+
+
+def test_ca_gmres_right_preconditioned():
+    from kryst_tpu.pc.ilu import ilu0
+
+    a = gallery.convection_diffusion_2d(12)
+    A = a.to_ell()
+    b = jnp.ones(144)
+    x, stats = ca_gmres(A, b, M=ilu0(a), tol=1e-8, maxiter=300, restart=6)
+    assert bool(stats.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(144)), atol=1e-5
+    )
+
+
+def test_ca_gmres_matches_gmres_iterspace():
+    # same subspace dimension -> comparable residual trajectory
+    from kryst_tpu.solvers.gmres import gmres
+
+    a = gallery.poisson_2d(10)
+    A = a.to_ell()
+    b = jnp.ones(100)
+    x1, s1 = gmres(A, b, tol=1e-8, maxiter=200, restart=8)
+    x2, s2 = ca_gmres(A, b, tol=1e-8, maxiter=400, restart=8)
+    assert bool(s2.reached_tol)
+    # monomial basis costs extra cycles vs Arnoldi, but bounded
+    assert int(s2.iterations) <= 3 * int(s1.iterations) + 16

@@ -1,0 +1,135 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh.
+
+The reference has ZERO distributed tests (SURVEY §4: the mpi feature is
+never exercised); these assert the property that actually matters —
+N-device runs produce the same results as 1-device runs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kryst_tpu import JacobiPC, cg, pcg
+from kryst_tpu.matrix import gallery
+from kryst_tpu.ops.dia import csr_to_dia
+from kryst_tpu.parallel.mesh import shard_vector, solver_mesh
+from kryst_tpu.parallel.sharded import (
+    HaloDIAOperator,
+    distribute_dia,
+    pad_vector,
+    sharded_solve,
+)
+from kryst_tpu.solvers.ca_gmres import ca_gmres
+from kryst_tpu.solvers.pipelined import pipecg
+
+
+def _setup(n_grid=32, nd=8):
+    mesh = solver_mesh(nd)
+    a = gallery.poisson_2d(n_grid)
+    A = csr_to_dia(a)
+    Ad, n_padded = distribute_dia(A, mesh)
+    n = n_grid * n_grid
+    b = np.random.default_rng(0).standard_normal(n)
+    bd = pad_vector(jnp.asarray(b), n_padded, mesh)
+    return mesh, a, A, Ad, b, bd, n
+
+
+def test_mesh_has_8_devices():
+    mesh = solver_mesh(8)
+    assert mesh.shape["shards"] == 8
+
+
+def test_sharded_matvec_matches_single_device():
+    mesh, a, A, Ad, b, bd, n = _setup()
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(None, "shards"), P("shards")),
+        out_specs=P("shards"),
+    )
+    def mv(data, x):
+        op = HaloDIAOperator(
+            data=data, offsets=Ad.offsets, halo=Ad.halo,
+            n_shards=Ad.n_shards, axis_name="shards",
+        )
+        return op.matvec(x)
+
+    y = np.asarray(mv(Ad.data, bd))[:n]
+    np.testing.assert_allclose(y, a.spmv(b), rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_cg_matches_single_device():
+    mesh, a, A, Ad, b, bd, n = _setup()
+    x1, s1 = cg(A, jnp.asarray(b), tol=1e-10, maxiter=500)
+    xd, sd = sharded_solve(cg, Ad, bd, mesh=mesh, tol=1e-10, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xd)[:n], np.asarray(x1), atol=1e-8)
+    assert int(sd.iterations) == int(s1.iterations)
+
+
+def test_sharded_pcg_jacobi():
+    mesh, a, A, Ad, b, bd, n = _setup()
+    M1 = JacobiPC.setup(A)
+    x1, s1 = pcg(A, jnp.asarray(b), M=M1, tol=1e-10, maxiter=500)
+    # distributed Jacobi: diagonal is a sharded vector
+    Md = JacobiPC.from_diagonal(Ad.diagonal())
+    xd, sd = sharded_solve(pcg, Ad, bd, mesh=mesh, M=Md, tol=1e-10, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xd)[:n], np.asarray(x1), atol=1e-8)
+    assert abs(int(sd.iterations) - int(s1.iterations)) <= 1
+
+
+def test_sharded_pipecg():
+    mesh, a, A, Ad, b, bd, n = _setup()
+    x1, s1 = pipecg(A, jnp.asarray(b), tol=1e-9, maxiter=500)
+    xd, sd = sharded_solve(pipecg, Ad, bd, mesh=mesh, tol=1e-9, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xd)[:n], np.asarray(x1), atol=1e-7)
+    assert abs(int(sd.iterations) - int(s1.iterations)) <= 2
+
+
+def test_sharded_ca_gmres():
+    mesh, a, A, Ad, b, bd, n = _setup()
+    x1, s1 = ca_gmres(A, jnp.asarray(b), tol=1e-8, maxiter=800, restart=8)
+    xd, sd = sharded_solve(
+        ca_gmres, Ad, bd, mesh=mesh, tol=1e-8, maxiter=800, restart=8
+    )
+    assert bool(sd.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(xd)[:n], np.linalg.solve(a.todense(), b), atol=1e-4
+    )
+
+
+def test_sharded_uneven_padding():
+    # n = 900 not divisible by 8: padding path
+    mesh = solver_mesh(8)
+    a = gallery.poisson_2d(30)  # 900
+    A = csr_to_dia(a)
+    Ad, n_padded = distribute_dia(A, mesh)
+    assert n_padded % 8 == 0
+    b = np.random.default_rng(1).standard_normal(900)
+    bd = pad_vector(jnp.asarray(b), n_padded, mesh)
+    xd, sd = sharded_solve(cg, Ad, bd, mesh=mesh, tol=1e-10, maxiter=500)
+    np.testing.assert_allclose(
+        np.asarray(xd)[:900], np.linalg.solve(a.todense(), b), atol=1e-6
+    )
+
+
+def test_halo_too_wide_raises():
+    mesh = solver_mesh(8)
+    a = gallery.poisson_2d(4)  # n=16, halo 4 > 16/8
+    A = csr_to_dia(a)
+    with pytest.raises(ValueError, match="halo"):
+        distribute_dia(A, mesh)
+
+
+def test_sharded_convection_diffusion_bicgstab():
+    from kryst_tpu.solvers.bicgstab import bicgstab
+
+    mesh = solver_mesh(8)
+    a = gallery.convection_diffusion_2d(24)
+    A = csr_to_dia(a)
+    Ad, n_padded = distribute_dia(A, mesh)
+    b = np.ones(576)
+    bd = pad_vector(jnp.asarray(b), n_padded, mesh)
+    x1, s1 = bicgstab(A, jnp.asarray(b), tol=1e-9, maxiter=500)
+    xd, sd = sharded_solve(bicgstab, Ad, bd, mesh=mesh, tol=1e-9, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xd)[:576], np.asarray(x1), atol=1e-6)
