@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: BASELINE headline config — 3-D Poisson 1M dof, time-to-tolerance.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against the BASELINE.md target of 1.0 s for the
+1M-dof solve on one v5e chip (>1.0 = faster than target). Secondary
+diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kryst_tpu import JacobiPC, pcg
+    from kryst_tpu.matrix import gallery
+    from kryst_tpu.ops.dia import csr_to_dia
+
+    n3 = 100  # 1M dof
+    n = n3 ** 3
+    log(f"backend: {jax.default_backend()}, assembling 3-D Poisson {n3}^3...")
+    t0 = time.time()
+    a = gallery.poisson_3d(n3)
+    A = csr_to_dia(a, dtype=np.float32)
+    b = jnp.ones(n, dtype=jnp.float32)
+    M = JacobiPC.setup(A)
+    log(f"setup {time.time()-t0:.1f}s")
+
+    # --- SpMV bandwidth (diagnostic) -----------------------------------
+    from jax import lax
+
+    spmv_loop = jax.jit(
+        lambda v: lax.fori_loop(0, 50, lambda i, u: A.matvec(u) / 6.0, v)
+    )
+    _ = float(np.asarray(spmv_loop(b))[0])
+    t0 = time.time()
+    _ = float(np.asarray(spmv_loop(b))[0])
+    dt = (time.time() - t0) / 50
+    gbs = (n * 7 * 4 + n * 4 * 2) / dt / 1e9
+    log(f"DIA SpMV: {dt*1e3:.3f} ms -> {gbs:.0f} GB/s")
+
+    # --- headline: PCG+Jacobi to rtol 1e-8 (recursive residual, f32) ---
+    tol = 1e-8
+    solve = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=tol, maxiter=3000))
+    t0 = time.time()
+    x, st = solve(A, b, M)
+    _ = float(np.asarray(x)[0])
+    log(f"first call (incl compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    x, st = solve(A, b, M)
+    _ = float(np.asarray(x)[0])
+    t_solve = time.time() - t0
+    r = b - A.matvec(x)
+    true_rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    log(
+        f"PCG+Jacobi 1M dof: {t_solve:.3f}s, iters={int(st.iterations)}, "
+        f"reached_tol={bool(st.reached_tol)}, rel={float(st.rel_residual):.2e}, "
+        f"true_rel={true_rel:.2e}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "poisson3d_1M_pcg_jacobi_time_to_rtol1e-8_f32",
+                "value": round(t_solve, 4),
+                "unit": "s",
+                "vs_baseline": round(1.0 / t_solve, 3) if t_solve > 0 else 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,12 @@ from kryst_tpu.core.linop import (
     StencilOperator3D,
     as_operator,
 )
+from kryst_tpu.api import KSP, PCConfig, SolverKind, solve
 from kryst_tpu.matrix.csr import CSRMatrix
+from kryst_tpu.ops.dia import DIAOperator, csr_to_dia
+from kryst_tpu.pc.amg import AMGPC
 from kryst_tpu.pc.asm import AdditiveSchwarzPC
+from kryst_tpu.pc.gmg import GMGPC
 from kryst_tpu.pc.base import IdentityPC
 from kryst_tpu.pc.block_jacobi import BlockJacobiPC
 from kryst_tpu.pc.chebyshev import ChebyshevPC
@@ -49,8 +53,10 @@ from kryst_tpu.solvers.direct import (
     qr_factor,
     qr_solve,
 )
+from kryst_tpu.solvers.ca_gmres import ca_gmres
 from kryst_tpu.solvers.gmres import fgmres, gmres
 from kryst_tpu.solvers.minres import minres
+from kryst_tpu.solvers.pipelined import pipecg
 from kryst_tpu.solvers.qmr import qmr
 from kryst_tpu.solvers.tfqmr import tfqmr
 

@@ -211,6 +211,27 @@ class PCConfig:
         raise ValueError(f"unknown preconditioner kind {kind!r}")
 
 
+def parse_pc_options(opts: dict) -> PCConfig:
+    """String-typed options parser (reference PcOptions, options.rs:11-20):
+    ``{"pc_type": "ssor", "omega": 1.3, "drop_tol": 1e-4, ...}``."""
+    pc_type = str(opts.get("pc_type", "none")).lower()
+    if pc_type in ("none", ""):
+        return PCConfig.none()
+    if pc_type == "jacobi":
+        return PCConfig.jacobi()
+    if pc_type == "ssor":
+        return PCConfig.ssor(omega=float(opts.get("omega", 1.0)))
+    if pc_type == "sor":
+        return PCConfig.sor(omega=float(opts.get("omega", 1.0)))
+    if pc_type == "ilu0":
+        return PCConfig.ilu0()
+    if pc_type == "ilut":
+        return PCConfig.ilut(droptol=float(opts.get("drop_tol", 1e-4)))
+    if pc_type in _PC_ALIASES:
+        return _PC_ALIASES[pc_type]()
+    raise ValueError(f"unknown pc_type {pc_type!r}")
+
+
 _PC_ALIASES = {
     "none": PCConfig.none,
     "jacobi": PCConfig.jacobi,

@@ -60,6 +60,15 @@ def push_history(hist, i, res):
     return hist.at[i].set(res)
 
 
+def emit_monitor(monitor, it, res):
+    """Per-iteration monitor callback (reference ``monitor`` FnMut(iter,
+    res_norm), cg.rs:84-88 / pcg.rs:82-86 / fgmres.rs:93-97). Implemented
+    with ``jax.debug.callback`` so it fires from inside jit — ordered,
+    host-side, zero effect on the compiled computation."""
+    if monitor is not None:
+        jax.debug.callback(monitor, it, res, ordered=True)
+
+
 def default_x0(b, x0):
     return jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 

@@ -30,6 +30,7 @@ from kryst_tpu.core.convergence import Breakdown, NormType, make_stats
 from kryst_tpu.core.linop import as_operator
 from kryst_tpu.solvers._common import (
     default_x0,
+    emit_monitor,
     dot,
     fused_dots,
     init_history,
@@ -75,6 +76,7 @@ def cg(
     radius: Optional[float] = None,
     obj_target: Optional[float] = None,
     record_history: bool = False,
+    monitor=None,
     axis_name: Optional[str] = None,
 ):
     """Unpreconditioned CG (reference CgSolver, cg.rs; Saad §6.1).
@@ -168,6 +170,7 @@ def cg(
         beta = safe_div(rr_new, s.rr)
         p_new = r_new + beta * s.p
         hist_new = push_history(s.hist, it, res)
+        emit_monitor(monitor, it, res)
         return _CGCarry(
             x_new, r_new, p_new, s.ap, rr_new, s.pap, obj, it, res, done, brk, hist_new
         )
@@ -198,6 +201,7 @@ def cg(
             indefinite, jnp.int32(Breakdown.INDEFINITE_MATRIX), s.breakdown
         )
         hist_new = push_history(s.hist, it, res)
+        emit_monitor(monitor, it, res)
         return _CGCarry(
             x_new, r_new, p_new, ap_new, rr_new, pap_new, obj, it, res, done, brk, hist_new
         )
@@ -244,6 +248,7 @@ def pcg(
     norm_type: NormType = NormType.UNPRECONDITIONED,
     single_reduction: bool = False,
     record_history: bool = False,
+    monitor=None,
     axis_name: Optional[str] = None,
 ):
     """Preconditioned CG (reference PcgSolver, pcg.rs; Saad §9.2).
@@ -316,6 +321,7 @@ def pcg(
             ),
         )
         hist_new = push_history(s.hist, it, res)
+        emit_monitor(monitor, it, res)
         return _PCGCarry(
             x_new, r_new, z_new, p_new, s.ap, rz_new, s.pap, it, res, done, brk, hist_new
         )
@@ -350,6 +356,7 @@ def pcg(
             ),
         )
         hist_new = push_history(s.hist, it, res)
+        emit_monitor(monitor, it, res)
         return _PCGCarry(
             x_new, r_new, z_new, p_new, ap_new, rz_new, pap_new, it, res, done, brk, hist_new
         )
