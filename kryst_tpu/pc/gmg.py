@@ -40,32 +40,6 @@ from kryst_tpu.matrix.csr import CSRMatrix
 from kryst_tpu.ops.dia import DIAOperator, scipy_to_dia
 
 
-def _filter_stencil(A: sp.csr_matrix, grid: Tuple[int, ...], reach: int = 1) -> sp.csr_matrix:
-    """Collapse a coarse operator back to its near-neighborhood stencil.
-
-    Smoothed-P Galerkin RAP grows the per-axis stencil reach by one each
-    level (measured: 7 -> 33 -> ~343 -> 787 distinct diagonals on 3-D
-    Poisson), which would blow up the DIA format. The standard structured-MG
-    remedy (BoxMG-style stencil collapsing): keep entries within per-axis
-    offset ``reach`` and lump everything dropped into the diagonal, which
-    preserves row sums (and hence the action on constants — the near-kernel
-    SA-AMG cares about)."""
-    coo = A.tocoo()
-    rc = np.unravel_index(coo.row, grid)
-    cc = np.unravel_index(coo.col, grid)
-    keep = np.ones(len(coo.data), dtype=bool)
-    for r_ax, c_ax in zip(rc, cc):
-        keep &= np.abs(r_ax.astype(np.int64) - c_ax.astype(np.int64)) <= reach
-    dropped = ~keep
-    diag_add = np.zeros(A.shape[0])
-    np.add.at(diag_add, coo.row[dropped], coo.data[dropped])
-    out = sp.csr_matrix(
-        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
-    )
-    out = out + sp.diags(diag_add)
-    return out.tocsr()
-
-
 def _upsample(xc: Array, coarse: Tuple[int, ...], fine: Tuple[int, ...]) -> Array:
     """Piecewise-constant grid upsampling (P0): gather-free via repeat."""
     g = xc.reshape(coarse)
@@ -96,20 +70,27 @@ class GMGLevel:
     fine: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     coarse: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     p_omega: float = dataclasses.field(metadata=dict(static=True))
+    smoothed: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
     def prolong(self, xc: Array) -> Array:
-        """P xc = (I - omega D^-1 A) P0 xc."""
+        """P xc; smoothed: (I - omega D^-1 A) P0 xc, else P0 xc."""
         v = _upsample(xc, self.coarse, self.fine)
+        if not self.smoothed:
+            return v
         return v - self.p_omega * self.inv_diag * self.A.matvec(v)
 
     def restrict(self, r: Array) -> Array:
-        """P^T r = P0^T (I - omega A D^-1) r (A symmetric)."""
+        """P^T r; smoothed: P0^T (I - omega A D^-1) r (A symmetric)."""
+        if not self.smoothed:
+            return _downsample_sum(r, self.coarse, self.fine)
         v = r - self.p_omega * self.A.matvec(self.inv_diag * r)
         return _downsample_sum(v, self.coarse, self.fine)
 
 
 register_dataclass(
-    GMGLevel, data_fields=["A", "inv_diag"], meta_fields=["fine", "coarse", "p_omega"]
+    GMGLevel,
+    data_fields=["A", "inv_diag"],
+    meta_fields=["fine", "coarse", "p_omega", "smoothed"],
 )
 
 
@@ -156,11 +137,21 @@ class GMGPC:
         smooth_omega: float = 2.0 / 3.0,
         p_omega: float = 2.0 / 3.0,
         max_offsets: int = 512,
-        filter_reach: int = 2,
+        smooth_levels: int = 2,
         dtype=None,
     ) -> "GMGPC":
         """``grid``: the structured grid shape whose lexicographic
-        flattening indexes ``a`` (e.g. (nx, ny) / (nx, ny, nz))."""
+        flattening indexes ``a`` (e.g. (nx, ny) / (nx, ny, nz)).
+
+        ``smooth_levels``: how many (finest) levels use the Jacobi-smoothed
+        prolongation; deeper levels use plain (unsmoothed) aggregation.
+        RAP is EXACT Galerkin everywhere — editing the coarse operator
+        (stencil collapsing) was measured to make the V-cycle divergent at
+        100^3 (rho > 1, identical on CPU f64), because it breaks the
+        A-orthogonal-projection property of the coarse correction.
+        Unsmoothed P below the first level keeps the operator reach <= 1
+        per axis (<= 27 diagonals in 3-D) with Galerkin intact.
+        """
         dtype = dtype or a.data.dtype
         if int(np.prod(grid)) != a.shape[0]:
             raise ValueError(f"grid {grid} does not match n={a.shape[0]}")
@@ -169,7 +160,7 @@ class GMGPC:
         )
         fine = tuple(grid)
         levels: List[GMGLevel] = []
-        for _ in range(max_levels):
+        for lvl_idx in range(max_levels):
             n = A.shape[0]
             if n <= coarse_size or min(fine) <= 2:
                 break
@@ -186,7 +177,11 @@ class GMGPC:
             )
             d = np.asarray(A.diagonal())
             dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
-            P = (P0 - p_omega * (sp.diags(dinv) @ (A @ P0))).tocsr()
+            smoothed = lvl_idx < smooth_levels
+            if smoothed:
+                P = (P0 - p_omega * (sp.diags(dinv) @ (A @ P0))).tocsr()
+            else:
+                P = P0
             levels.append(
                 GMGLevel(
                     A=scipy_to_dia(A, max_offsets=max_offsets, dtype=dtype),
@@ -194,11 +189,11 @@ class GMGPC:
                     fine=fine,
                     coarse=coarse,
                     p_omega=p_omega,
+                    smoothed=smoothed,
                 )
             )
-            # reach=2 measured h-independent (iters 7,7,8,8 on 16..64^2)
-            # while reach=1 degrades (8,10,13,16); see _filter_stencil.
-            A = _filter_stencil((P.T @ A @ P).tocsr(), coarse, reach=filter_reach)
+            A = (P.T @ A @ P).tocsr()  # exact Galerkin
+            A.eliminate_zeros()
             fine = coarse
         coarse_inv = np.linalg.inv(A.toarray())  # host, f64
         return GMGPC(

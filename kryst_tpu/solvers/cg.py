@@ -130,13 +130,15 @@ def cg(
         return (~s.done) & (s.it < maxiter)
 
     def body_standard(s: _CGCarry) -> _CGCarry:
+        from kryst_tpu.ops.fused import cg_fused_update
+
         ap = A.matvec(s.p)
         pap = dot(s.p, ap, axis_name)
         indefinite = pap <= 0
 
         alpha = safe_div(s.rr, pap)
-        x_new = s.x + alpha * s.p
-        r_new = s.r - alpha * ap
+        # fused x/r update + <r', r'> in one kernel (ops/fused.py)
+        x_new, r_new, rr_local = cg_fused_update(s.x, s.p, s.r, ap, alpha)
 
         if radius is not None:
             # Steihaug–Toint: on negative curvature or leaving the trust
@@ -149,10 +151,12 @@ def cg(
             r_new = jnp.where(take_boundary, b - A.matvec(x_new), r_new)
             indefinite = jnp.asarray(False)
             boundary_done = take_boundary
+            rr_new = dot(r_new, r_new, axis_name)
         else:
             boundary_done = jnp.asarray(False)
-
-        rr_new = dot(r_new, r_new, axis_name)
+            rr_new = (
+                lax.psum(rr_local, axis_name) if axis_name is not None else rr_local
+            )
         res = jnp.sqrt(rr_new)
         it = s.it + 1
 
@@ -296,12 +300,13 @@ def pcg(
         return (~s.done) & (s.it < maxiter)
 
     def body_standard(s: _PCGCarry) -> _PCGCarry:
+        from kryst_tpu.ops.fused import cg_fused_update
+
         ap = A.matvec(s.p)
         pap = dot(s.p, ap, axis_name)
         indefinite = pap <= 0  # pcg.rs:162-172
         alpha = safe_div(s.rz, pap)
-        x_new = s.x + alpha * s.p
-        r_new = s.r - alpha * ap
+        x_new, r_new, _rr_local = cg_fused_update(s.x, s.p, s.r, ap, alpha)
         z_new = apply_M(r_new)
         rz_new = dot(r_new, z_new, axis_name)
         res = measure(r_new, z_new, rz_new)

@@ -37,7 +37,13 @@ from jax import Array, lax
 
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
-from kryst_tpu.solvers._common import default_x0, dot, init_history, safe_div
+from kryst_tpu.solvers._common import (
+    default_x0,
+    dot,
+    emit_monitor,
+    init_history,
+    safe_div,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +344,7 @@ def fgmres(
     orthog: str = "cgs2",
     happy_tol: float = 1e-12,
     record_history: bool = False,
+    monitor=None,
     axis_name: Optional[str] = None,
 ):
     """Flexible GMRES (reference FgmresSolver, fgmres.rs; Saad §9.4).
@@ -416,6 +423,7 @@ def fgmres(
                 if c.hist is None
                 else c.hist.at[jnp.minimum(s.it + j, maxiter)].set(res_est)
             )
+            emit_monitor(monitor, s.it + j, res_est)
             active = (res_est > threshold) & (~happy)
             return _FInnerCarry(V, Z, Ht, g, cs, sn, j, res_est, active, happy, hist)
 
