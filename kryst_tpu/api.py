@@ -288,7 +288,14 @@ def solve(
     kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
     if isinstance(A, CSRMatrix):
         a_host = A
-        A = A.to_ell()
+        # device-format selection: DIA when the diagonal structure allows
+        # (gather-free SpMV — the TPU fast path), ELL otherwise
+        try:
+            from kryst_tpu.ops.dia import csr_to_dia
+
+            A = csr_to_dia(A)
+        except ValueError:
+            A = A.to_ell()
     A = as_operator(A)
     b = jnp.asarray(b)
     dtype = b.dtype

@@ -130,6 +130,90 @@ def ill_conditioned_diag(n: int, cond: float = 1e6, dtype=np.float64) -> np.ndar
     return np.diag(d)
 
 
+def bcsstk_like(n_elems: int = 64, dtype=np.float64) -> CSRMatrix:
+    """SPD structural-stiffness proxy for the SuiteSparse bcsstk family
+    (BASELINE config 3): 1-D chain of 2-node beam elements with 2 dof/node
+    (displacement + rotation), assembled element-by-element. Block
+    tridiagonal, SPD, moderately ill-conditioned — the solver-facing
+    characteristics of the bcsstk matrices without network access."""
+    ndof = 2 * (n_elems + 1)
+    # 4x4 beam element stiffness (EI/L^3 scaled, L=1)
+    ke = np.array(
+        [
+            [12.0, 6.0, -12.0, 6.0],
+            [6.0, 4.0, -6.0, 2.0],
+            [-12.0, -6.0, 12.0, -6.0],
+            [6.0, 2.0, -6.0, 4.0],
+        ],
+        dtype=dtype,
+    )
+    rows, cols, vals = [], [], []
+    for e in range(n_elems):
+        dofs = [2 * e, 2 * e + 1, 2 * e + 2, 2 * e + 3]
+        for i in range(4):
+            for j in range(4):
+                rows.append(dofs[i]); cols.append(dofs[j]); vals.append(ke[i, j])
+    # clamp both ends (add large diagonal) to make it SPD
+    for d in (0, 1, ndof - 2, ndof - 1):
+        rows.append(d); cols.append(d); vals.append(1e4)
+    return CSRMatrix.from_coo(rows, cols, np.asarray(vals, dtype=dtype), (ndof, ndof))
+
+
+def thermal_like(nx: int = 32, dtype=np.float64) -> CSRMatrix:
+    """Variable-coefficient diffusion proxy for the SuiteSparse thermal
+    family: 5-point FD of -div(k grad u) with a rough lognormal
+    conductivity field — SPD, heterogeneous, like unstructured FEM
+    thermal problems in conditioning."""
+    rng = np.random.default_rng(42)
+    logk = rng.standard_normal((nx + 1, nx + 1))
+    # smooth the field a little
+    k = np.exp(0.5 * (logk + np.roll(logk, 1, 0) + np.roll(logk, 1, 1)) / 3)
+    n = nx * nx
+
+    def idx(i, j):
+        return i * nx + j
+
+    rows, cols, vals = [], [], []
+    for i in range(nx):
+        for j in range(nx):
+            c = 0.0
+            for (di, dj, kk) in (
+                (-1, 0, k[i, j]), (1, 0, k[i + 1, j]),
+                (0, -1, k[i, j]), (0, 1, k[i, j + 1]),
+            ):
+                ii, jj = i + di, j + dj
+                c += kk
+                if 0 <= ii < nx and 0 <= jj < nx:
+                    rows.append(idx(i, j)); cols.append(idx(ii, jj)); vals.append(-kk)
+            rows.append(idx(i, j)); cols.append(idx(i, j)); vals.append(c)
+    return CSRMatrix.from_coo(rows, cols, np.asarray(vals, dtype=dtype), (n, n))
+
+
+def atmosmodd_like(nx: int = 16, beta=(5.0, 3.0, 1.0), dtype=np.float64) -> CSRMatrix:
+    """Nonsymmetric 3-D convection-diffusion proxy for SuiteSparse
+    atmosmodd (atmospheric modeling): 7-point upwind stencil with an
+    anisotropic drift."""
+    n = nx ** 3
+    h = 1.0 / (nx + 1)
+    b = [be * h for be in beta]
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(nx), np.arange(nx), indexing="ij")
+    lin = (ii * nx + jj) * nx + kk
+    rows = [lin.ravel()]
+    cols = [lin.ravel()]
+    vals = [np.full(n, 6.0 + sum(b), dtype=dtype)]
+    for axis, stride in ((0, nx * nx), (1, nx), (2, 1)):
+        coord = (ii, jj, kk)[axis]
+        for sgn, v in ((-1, -1.0 - b[axis]), (1, -1.0)):
+            mask = (coord + sgn >= 0) & (coord + sgn < nx)
+            r = lin[mask]
+            rows.append(r)
+            cols.append(r + sgn * stride)
+            vals.append(np.full(r.size, v, dtype=dtype))
+    return CSRMatrix.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (n, n)
+    )
+
+
 def random_spd(n: int, rng=None, shift: float = 1.0, dtype=np.float64) -> np.ndarray:
     """A = MᵀM + shift·I — the iterative-vs-direct fixture (solver_iterative.rs:18-30)."""
     rng = rng or np.random.default_rng(0)

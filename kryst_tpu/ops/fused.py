@@ -86,10 +86,20 @@ def _cg_fused_update_pallas(x, p, r, q, alpha, block: int = 65536):
 
 
 def cg_fused_update(x, p, r, q, alpha) -> Tuple[Array, Array, Array]:
-    """(x + alpha p, r - alpha q, <r', r'>) in one pass."""
+    """(x + alpha p, r - alpha q, <r', r'>) in one pass.
+
+    Inputs are zero-padded to a block multiple (padded lanes contribute
+    0 - alpha*0 = 0 to the reduction, so the dot is unaffected)."""
     alpha = jnp.asarray(alpha, x.dtype)
-    if _on_cpu() or x.shape[0] < 8192 or x.shape[0] % 1024:
+    n = x.shape[0]
+    if _on_cpu() or n < 8192:
         x_new = x + alpha * p
         r_new = r - alpha * q
         return x_new, r_new, jnp.sum(r_new * r_new)
+    blk = 65536
+    n_pad = (-n) % blk if n >= blk else (-n) % 8192
+    if n_pad:
+        pad = lambda v: jnp.pad(v, (0, n_pad))
+        xo, ro, rr = _cg_fused_update_pallas(pad(x), pad(p), pad(r), pad(q), alpha)
+        return xo[:n], ro[:n], rr
     return _cg_fused_update_pallas(x, p, r, q, alpha)
