@@ -73,13 +73,39 @@ def main():
         f"true_rel={true_rel:.2e}"
     )
 
+    # --- multigrid-preconditioned PCG (BASELINE config 4 proper) --------
+    t_best = t_solve
+    metric = "poisson3d_1M_pcg_jacobi_time_to_rtol1e-8_f32"
+    try:
+        from kryst_tpu.pc.gmg import GMGPC
+
+        t0 = time.time()
+        pc = GMGPC.setup(a, grid=(n3, n3, n3), nu_pre=2, nu_post=2, dtype=np.float32)
+        log(f"GMG setup: {time.time()-t0:.1f}s")
+        gsolve = jax.jit(lambda A, b, pc: pcg(A, b, M=pc, tol=tol, maxiter=100))
+        xg, sg = gsolve(A, b, pc)
+        _ = float(np.asarray(xg)[0])
+        t0 = time.time()
+        xg, sg = gsolve(A, b, pc)
+        _ = float(np.asarray(xg)[0])
+        t_gmg = time.time() - t0
+        log(
+            f"PCG+GMG 1M dof: {t_gmg:.3f}s, iters={int(sg.iterations)}, "
+            f"reached_tol={bool(sg.reached_tol)}"
+        )
+        if bool(sg.reached_tol) and t_gmg < t_best:
+            t_best = t_gmg
+            metric = "poisson3d_1M_pcg_multigrid_time_to_rtol1e-8_f32"
+    except Exception as e:  # diagnostics only — never break the bench
+        log(f"GMG bench skipped: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
-                "metric": "poisson3d_1M_pcg_jacobi_time_to_rtol1e-8_f32",
-                "value": round(t_solve, 4),
+                "metric": metric,
+                "value": round(t_best, 4),
                 "unit": "s",
-                "vs_baseline": round(1.0 / t_solve, 3) if t_solve > 0 else 0.0,
+                "vs_baseline": round(1.0 / t_best, 3) if t_best > 0 else 0.0,
             }
         )
     )

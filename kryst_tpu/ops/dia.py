@@ -78,6 +78,13 @@ class DIAOperator:
         offs_t = tuple(-o for o in self.offsets)
         return dia_spmv_xla(data_t, offs_t, x)
 
+    def matvec_dot(self, p: Array):
+        """Fused (A p, <p, A p>) — one Pallas launch when it fits VMEM
+        (ops/fused.py); the capability hook the CG solvers probe for."""
+        from kryst_tpu.ops.fused import dia_spmv_dot
+
+        return dia_spmv_dot(self.data, self.offsets, p)
+
     def diagonal(self) -> Array:
         if 0 in self.offsets:
             return self.data[self.offsets.index(0)]

@@ -85,6 +85,73 @@ def _cg_fused_update_pallas(x, p, r, q, alpha, block: int = 65536):
     return xo, ro, rr[0, 0]
 
 
+# ---------------------------------------------------------------------------
+# fused DIA SpMV + <p, Ap>
+# ---------------------------------------------------------------------------
+
+def _spmv_dot_kernel(offsets, m, x_ref, d_ref, o_ref, acc_ref):
+    """Rolled DIA SpMV (see ops/dia.py) + the <p, Ap> partial in one pass."""
+    import jax.experimental.pallas as pl
+    import jax.lax as lax_
+    from jax.experimental.pallas import tpu as pltpu
+
+    X = x_ref[...]
+    lane = lax_.broadcasted_iota(jnp.int32, (m, 128), 1)
+    acc = None
+    for k, off in enumerate(offsets):
+        q, r = divmod(off, 128)
+        Y = pltpu.roll(X, (-q) % m, axis=0) if q % m else X
+        if r:
+            Y1 = pltpu.roll(Y, (-r) % 128, axis=1)
+            Y2 = pltpu.roll(Y1, m - 1, axis=0)
+            Y = jnp.where(lane < 128 - r, Y1, Y2)
+        term = d_ref[k] * Y
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc
+    acc_ref[0, 0] = jnp.sum(X * acc)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def dia_spmv_dot(data: Array, offsets: Tuple[int, ...], p: Array):
+    """(A p, <p, A p>) in a single Pallas launch (whole vector in VMEM).
+
+    Only valid while (ndiag + 2) coefficient/vector planes fit VMEM —
+    roughly n * (ndiag + 2) * 4B < 12 MB, e.g. 7-diagonal operators up to
+    ~330k dof in f32. Callers must gate on size (falls back to
+    matvec + dot otherwise)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = p.shape[0]
+    if _on_cpu() or (len(offsets) + 2) * n * p.dtype.itemsize > 12 * 1024 * 1024:
+        from kryst_tpu.ops.dia import dia_spmv_xla
+
+        y = dia_spmv_xla(data, offsets, p)
+        return y, jnp.sum(p * y)
+    m = -(-n // 128)
+    m = -(-m // 8) * 8
+    npad = m * 128
+    X = jnp.pad(p, (0, npad - n)).reshape(m, 128)
+    D = jnp.pad(data, ((0, 0), (0, npad - n))).reshape(len(offsets), m, 128)
+    kern = functools.partial(_spmv_dot_kernel, offsets, m)
+    y, pap = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, 128), p.dtype),
+            jax.ShapeDtypeStruct((1, 1), p.dtype),
+        ),
+    )(X, D)
+    return y.reshape(npad)[:n], pap[0, 0]
+
+
 def cg_fused_update(x, p, r, q, alpha) -> Tuple[Array, Array, Array]:
     """(x + alpha p, r - alpha q, <r', r'>) in one pass.
 

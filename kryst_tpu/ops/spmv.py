@@ -29,44 +29,15 @@ def ell_spmv_xla(data, cols, x):
     return (data * x[cols]).sum(axis=1)
 
 
-def _spmv_kernel(x_ref, data_ref, cols_ref, out_ref):
-    """Pallas row-block ELL SpMV: rows blocked on the grid, x fully in VMEM."""
-    d = data_ref[...]
-    c = cols_ref[...]
-    x = x_ref[...]
-    out_ref[...] = jnp.sum(d * x[c], axis=1)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "METAL")
-    except Exception:  # pragma: no cover
-        return False
-
-
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def ell_spmv_pallas(data, cols, x, *, block_rows: int = 1024):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, k = data.shape
-    grid = (n // block_rows,)
-    return pl.pallas_call(
-        _spmv_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM),
-            pl.BlockSpec((block_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), data.dtype),
-    )(x, data, cols)
-
-
 def ell_spmv(data, cols, x):
-    """ELL SpMV with automatic backend dispatch."""
-    # Pallas gather-in-kernel support varies; the XLA path is already a
-    # single fused pass and is used as the default. The Pallas kernel is
-    # opt-in from bench code where its layout wins are measured.
+    """ELL SpMV (gather-based).
+
+    PERFORMANCE NOTE (measured on v5e): XLA lowers the gather to a serial
+    ~7.5 ns/element loop, so this path runs at ~2 GB/s on TPU — fine for
+    setup-time and CPU-test work, wrong for hot loops. For TPU hot paths
+    convert to DIA (ops/dia.py, gather-free shifted slices) — `api.solve`
+    does this automatically when the diagonal structure allows. Mosaic's
+    Pallas supports only lane-local 2-D gathers, so there is no faster
+    general-gather kernel to write on this hardware generation.
+    """
     return ell_spmv_xla(data, cols, x)

@@ -34,7 +34,6 @@ import scipy.sparse as sp
 from jax import Array
 from jax.tree_util import register_dataclass
 
-import jax.scipy.linalg as jsl
 
 from kryst_tpu.core.linop import ELLOperator
 from kryst_tpu.matrix.csr import CSRMatrix

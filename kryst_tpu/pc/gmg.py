@@ -30,7 +30,6 @@ import dataclasses
 from typing import List, Tuple
 
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 import numpy as np
 import scipy.sparse as sp
 from jax import Array

@@ -132,8 +132,11 @@ def cg(
     def body_standard(s: _CGCarry) -> _CGCarry:
         from kryst_tpu.ops.fused import cg_fused_update
 
-        ap = A.matvec(s.p)
-        pap = dot(s.p, ap, axis_name)
+        if hasattr(A, "matvec_dot") and axis_name is None:
+            ap, pap = A.matvec_dot(s.p)  # fused SpMV + <p, Ap> (ops/fused.py)
+        else:
+            ap = A.matvec(s.p)
+            pap = dot(s.p, ap, axis_name)
         indefinite = pap <= 0
 
         alpha = safe_div(s.rr, pap)
@@ -302,8 +305,11 @@ def pcg(
     def body_standard(s: _PCGCarry) -> _PCGCarry:
         from kryst_tpu.ops.fused import cg_fused_update
 
-        ap = A.matvec(s.p)
-        pap = dot(s.p, ap, axis_name)
+        if hasattr(A, "matvec_dot") and axis_name is None:
+            ap, pap = A.matvec_dot(s.p)  # fused SpMV + <p, Ap> (ops/fused.py)
+        else:
+            ap = A.matvec(s.p)
+            pap = dot(s.p, ap, axis_name)
         indefinite = pap <= 0  # pcg.rs:162-172
         alpha = safe_div(s.rz, pap)
         x_new, r_new, _rr_local = cg_fused_update(s.x, s.p, s.r, ap, alpha)
