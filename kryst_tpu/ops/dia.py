@@ -120,57 +120,6 @@ def dia_spmv_xla(data: Array, offsets: Tuple[int, ...], x: Array) -> Array:
     return acc
 
 
-def _dia_kernel(offsets, pad, blk, x_ref, d_ref, o_ref):
-    """One output block: load ONE aligned window (Mosaic vector loads must
-    be alignment-multiples), then slice it in-register per offset."""
-    from jax.experimental import pallas as pl
-
-    i = pl.program_id(0)
-    w = x_ref[pl.ds(i * blk, blk + 2 * pad)]  # aligned: blk, pad % 1024 == 0
-    o0 = pad + offsets[0]
-    acc = d_ref[0] * w[o0 : o0 + blk]
-    for k in range(1, len(offsets)):
-        ok = pad + offsets[k]
-        acc += d_ref[k] * w[ok : ok + blk]
-    o_ref[...] = acc
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "block"))
-def dia_spmv_pallas(data: Array, offsets: Tuple[int, ...], x: Array, block: int = 8192):
-    """Single-launch DIA SpMV: padded x fully in VMEM, static-offset loads.
-
-    Valid while the padded x fits in VMEM (~4M f32). Larger vectors fall
-    back to the XLA path (still correct, more launches).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = x.shape[0]
-    maxoff = max(max(abs(o) for o in offsets), 1)
-    pad = ((maxoff + 1023) // 1024) * 1024  # alignment for Mosaic loads
-    if n + 2 * pad > 3_500_000:
-        return dia_spmv_xla(data, offsets, x)
-    blk = block
-    while n % blk != 0:
-        blk //= 2
-        if blk < 1024:
-            return dia_spmv_xla(data, offsets, x)
-    xp = jnp.pad(x, (pad, pad))
-    kern = functools.partial(_dia_kernel, offsets, pad, blk)
-    return pl.pallas_call(
-        kern,
-        grid=(n // blk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
-            pl.BlockSpec(
-                (len(offsets), blk), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
-    )(xp, data)
-
-
 def _dia_rolled_kernel(offsets, m, x_ref, d_ref, o_ref):
     """Whole-vector DIA SpMV via in-register rolls (no gathers, no
     alignment-sensitive loads).
@@ -213,10 +162,13 @@ def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int 
     m = -(-n // 128)
     m = -(-m // 8) * 8  # sublane-tile friendly
     npad = m * 128
+    # VMEM budget: x + group coefficient planes + out. Even one group needs
+    # 3 planes resident; beyond that (e.g. 8M-dof vectors) use the XLA path.
+    vmem_f32 = 3_300_000
+    if npad > vmem_f32 // 3:  # 3 planes resident; ~1.1M f32 max (fits 1M dof)
+        return dia_spmv_xla(data, offsets, x)
     X = jnp.pad(x, (0, npad - n)).reshape(m, 128)
     D = jnp.pad(data, ((0, 0), (0, npad - n))).reshape(len(offsets), m, 128)
-    # VMEM budget: x + group coefficient planes + out
-    vmem_f32 = 3_000_000
     grp = max(1, min(group, (vmem_f32 - 2 * npad) // npad))
     out = None
     for g0 in range(0, len(offsets), grp):

@@ -215,6 +215,77 @@ def np_bicgstab(A, b, x0=None, tol=1e-8, maxiter=1000):
     return x, maxiter, hist
 
 
+def np_cgs(A, b, x0=None, tol=1e-8, maxiter=1000):
+    """CGS (Saad §7.2; cgs.rs u/p/q recurrences)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
+    r = b - A @ x
+    rhat = r.copy()
+    res0 = np.linalg.norm(r)
+    hist = [res0]
+    if res0 == 0:
+        return x, 0, hist
+    rho = rhat @ r
+    u = r.copy()
+    p = r.copy()
+    for i in range(maxiter):
+        v = A @ p
+        sigma = rhat @ v
+        if abs(sigma) < 1e-30:
+            return x, i, hist
+        alpha = rho / sigma
+        q = u - alpha * v
+        uq = u + q
+        x = x + alpha * uq
+        r = r - alpha * (A @ uq)
+        res = np.linalg.norm(r)
+        hist.append(res)
+        if res / res0 <= tol:
+            return x, i + 1, hist
+        rho_new = rhat @ r
+        if abs(rho_new) < 1e-30:
+            return x, i + 1, hist
+        beta = rho_new / rho
+        rho = rho_new
+        u = r + beta * q
+        p = u + beta * (q + beta * p)
+    return x, maxiter, hist
+
+
+def np_cgnr(A, b, x0=None, tol=1e-8, maxiter=1000):
+    """CG on the normal equations A^T A x = A^T b, converging on ||A^T r||."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.zeros(A.shape[1]) if x0 is None else np.array(x0, dtype=np.float64)
+    r = b - A @ x
+    z = A.T @ r
+    p = z.copy()
+    zz = z @ z
+    res0 = np.sqrt(zz)
+    hist = [res0]
+    if res0 == 0:
+        return x, 0, hist
+    for i in range(maxiter):
+        w = A @ p
+        ww = w @ w
+        if ww == 0:
+            return x, i, hist
+        alpha = zz / ww
+        x = x + alpha * p
+        r = r - alpha * w
+        z = A.T @ r
+        zz_new = z @ z
+        res = np.sqrt(zz_new)
+        hist.append(res)
+        if res / res0 <= tol:
+            return x, i + 1, hist
+        beta = zz_new / zz
+        zz = zz_new
+        p = z + beta * p
+    return x, maxiter, hist
+
+
 def np_minres(A, b, x0=None, tol=1e-8, maxiter=1000):
     """MINRES (Paige-Saunders; minres.rs structure)."""
     A = np.asarray(A, dtype=np.float64)

@@ -128,6 +128,92 @@ def pad_vector(b: Array, n_padded: int, mesh: Mesh, axis: str = AXIS) -> Array:
     return jax.device_put(b, NamedSharding(mesh, P(axis)))
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardSchwarzPC:
+    """Additive-Schwarz preconditioner with one subdomain per shard.
+
+    Inside shard_map each device applies a local solve on its diagonal
+    block (cross-shard couplings are cut — the classic non-overlapping ASM
+    / block-Jacobi-by-ranks decomposition the reference's ASM generalizes,
+    asm.rs:45-65). The local solve is a fixed-degree Chebyshev polynomial
+    of the local DIA block: matvec-only, gather-free, and identical cost on
+    every shard — no per-subdomain factorization padding needed. This is
+    the distributed PC of BASELINE config 5 (pipelined CG / CA-GMRES + ASM
+    over the mesh).
+    """
+
+    data: Array  # local (ndiag, n_local) coefficient planes
+    emin: Array
+    emax: Array
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(default=8, metadata=dict(static=True))
+
+    def _local_matvec(self, v: Array) -> Array:
+        from kryst_tpu.ops.dia import dia_spmv_xla
+
+        # zero-padded shifted slices = Dirichlet cut at shard boundaries
+        return dia_spmv_xla(self.data, self.offsets, v)
+
+    def apply(self, r: Array) -> Array:
+        theta = (self.emax + self.emin) / 2.0
+        delta = (self.emax - self.emin) / 2.0
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+        d = r / theta
+        z = d
+        res = r - self._local_matvec(z)
+        for _ in range(self.degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
+            z = z + d
+            res = res - self._local_matvec(d)
+            rho = rho_new
+        return z
+
+
+register_dataclass(
+    ShardSchwarzPC,
+    data_fields=["data", "emin", "emax"],
+    meta_fields=["offsets", "degree"],
+)
+
+
+def shard_schwarz(
+    A: HaloDIAOperator, degree: int = 8, emin=None, emax=None
+) -> ShardSchwarzPC:
+    """Build the per-shard ASM PC from a distributed operator. Spectrum
+    bounds default to Gershgorin estimates of the global operator (valid
+    for every diagonal sub-block)."""
+    if emax is None:
+        radius = jnp.sum(jnp.abs(A.data), axis=0).max()
+        emax = 1.05 * radius
+    if emin is None:
+        emin = emax / 30.0
+    return ShardSchwarzPC(
+        data=A.data,
+        emin=jnp.asarray(emin, A.data.dtype),
+        emax=jnp.asarray(emax, A.data.dtype),
+        offsets=A.offsets,
+        degree=degree,
+    )
+
+
+def _m_specs(M, axis: str):
+    """Partition specs for a PC pytree: 1-D leaves shard on the axis, 2-D
+    leaves (coefficient planes) shard their last dim, scalars replicate."""
+    import jax.tree_util as jtu
+
+    def spec(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 1:
+            return P(axis)
+        if nd == 2:
+            return P(None, axis)
+        return P()
+
+    return jtu.tree_map(spec, M)
+
+
 def sharded_solve(
     solver_fn,
     A: HaloDIAOperator,
@@ -146,7 +232,7 @@ def sharded_solve(
     """
     mesh = mesh or solver_mesh()
 
-    in_specs = (P(None, axis), P(axis), P(axis) if M is not None else P())
+    in_specs = (P(None, axis), P(axis), _m_specs(M, axis) if M is not None else P())
     m_arg = M if M is not None else jnp.zeros((), dtype=b.dtype)
 
     @partial(

@@ -121,6 +121,46 @@ def test_halo_too_wide_raises():
         distribute_dia(A, mesh)
 
 
+def test_sharded_gmres():
+    from kryst_tpu.solvers.gmres import gmres
+
+    mesh, a, A, Ad, b, bd, n = _setup()
+    x1, s1 = gmres(A, jnp.asarray(b), tol=1e-9, maxiter=300, restart=20)
+    xd, sd = sharded_solve(gmres, Ad, bd, mesh=mesh, tol=1e-9, maxiter=300, restart=20)
+    np.testing.assert_allclose(np.asarray(xd)[:n], np.asarray(x1), atol=1e-6)
+    assert abs(int(sd.iterations) - int(s1.iterations)) <= 2
+
+
+def test_sharded_schwarz_pipecg():
+    # BASELINE config 5: pipelined CG + additive Schwarz over the mesh
+    from kryst_tpu.parallel.sharded import shard_schwarz
+
+    mesh, a, A, Ad, b, bd, n = _setup()
+    M = shard_schwarz(Ad, degree=6)
+    xd, sd = sharded_solve(pipecg, Ad, bd, mesh=mesh, M=M, tol=1e-9, maxiter=500)
+    assert bool(sd.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(xd)[:n], np.linalg.solve(a.todense(), b), atol=1e-5
+    )
+    # the ASM PC must beat unpreconditioned pipecg
+    _, s_plain = sharded_solve(pipecg, Ad, bd, mesh=mesh, tol=1e-9, maxiter=500)
+    assert int(sd.iterations) < int(s_plain.iterations)
+
+
+def test_sharded_schwarz_ca_gmres():
+    from kryst_tpu.parallel.sharded import shard_schwarz
+
+    mesh, a, A, Ad, b, bd, n = _setup()
+    M = shard_schwarz(Ad, degree=6)
+    xd, sd = sharded_solve(
+        ca_gmres, Ad, bd, mesh=mesh, M=M, tol=1e-8, maxiter=800, restart=6
+    )
+    assert bool(sd.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(xd)[:n], np.linalg.solve(a.todense(), b), atol=1e-4
+    )
+
+
 def test_sharded_convection_diffusion_bicgstab():
     from kryst_tpu.solvers.bicgstab import bicgstab
 

@@ -85,6 +85,28 @@ def test_parity_minres():
     assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
 
 
+def test_parity_cgs():
+    a = gallery.tridiag(64, diag=4.0)
+    dense = a.todense()
+    b = np.ones(64)
+    from kryst_tpu.solvers.cgs import cgs as jcgs
+
+    x_ref, it_ref, _ = np_ref.np_cgs(dense, b, tol=RTOL, maxiter=400)
+    x, st = jcgs(a.to_ell(), jnp.asarray(b), tol=RTOL, maxiter=400)
+    assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
+
+
+def test_parity_cgnr():
+    from kryst_tpu.solvers.cgnr import cgnr as jcgnr
+
+    a = gallery.convection_diffusion_2d(10)
+    dense = a.todense()
+    b = np.ones(100)
+    x_ref, it_ref, _ = np_ref.np_cgnr(dense, b, tol=RTOL, maxiter=2000)
+    x, st = jcgnr(a.to_ell(), jnp.asarray(b), tol=RTOL, maxiter=2000)
+    assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
+
+
 def test_parity_histories_track():
     # residual histories agree to a few percent along the way (not just
     # the endpoint) — catches silent algorithmic drift
