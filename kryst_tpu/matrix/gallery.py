@@ -89,6 +89,31 @@ def poisson_3d_stencil(nx: int, ny: int | None = None, nz: int | None = None, dt
     )
 
 
+def poisson_3d_dia(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float32):
+    """7-point 3-D Poisson directly in DIA form — O(n) assembly with no
+    COO dedup pass, usable at 8M+ dof where CSR assembly costs minutes."""
+    from kryst_tpu.ops.dia import DIAOperator
+    import jax.numpy as jnp
+
+    ny = ny or nx
+    nz = nz or nx
+    n = nx * ny * nz
+    ii, jj, kk = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    offsets = (-ny * nz, -nz, -1, 0, 1, nz, ny * nz)
+    data = np.zeros((7, n), dtype=dtype)
+    data[3] = 6.0
+    # data[d, i] = A[i, i+off]: neighbor must exist in the +off direction
+    data[0] = np.where(ii.ravel() - 1 >= 0, -1.0, 0.0)
+    data[6] = np.where(ii.ravel() + 1 < nx, -1.0, 0.0)
+    data[1] = np.where(jj.ravel() - 1 >= 0, -1.0, 0.0)
+    data[5] = np.where(jj.ravel() + 1 < ny, -1.0, 0.0)
+    data[2] = np.where(kk.ravel() - 1 >= 0, -1.0, 0.0)
+    data[4] = np.where(kk.ravel() + 1 < nz, -1.0, 0.0)
+    return DIAOperator(jnp.asarray(data), offsets, n)
+
+
 def convection_diffusion_2d(nx: int, ny: int | None = None, beta: float = 10.0, dtype=np.float64) -> CSRMatrix:
     """Nonsymmetric convection-diffusion: -Δu + beta·u_x, upwind differences.
 

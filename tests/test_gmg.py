@@ -9,6 +9,17 @@ from kryst_tpu.ops.dia import DIAOperator, csr_to_dia, dia_spmv_xla
 from kryst_tpu.pc.gmg import GMGPC, _downsample_sum, _upsample
 
 
+def test_poisson_3d_dia_direct_builder():
+    # O(n) direct DIA assembly must equal the CSR->DIA path exactly
+    A1 = gallery.poisson_3d_dia(6, dtype=np.float64)
+    A2 = csr_to_dia(gallery.poisson_3d(6))
+    assert A1.offsets == A2.offsets
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(216))
+    np.testing.assert_allclose(
+        np.asarray(A1.matvec(x)), np.asarray(A2.matvec(x)), rtol=1e-14
+    )
+
+
 def test_dia_matvec_matches_csr():
     a = gallery.poisson_3d(6)
     A = csr_to_dia(a)
