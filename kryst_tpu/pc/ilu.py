@@ -50,6 +50,81 @@ class ILUPC:
 register_dataclass(ILUPC, data_fields=["L", "U"], meta_fields=[])
 
 
+@dataclasses.dataclass(frozen=True)
+class ILUDiaPC:
+    """ILU with DIA-format triangles and truncated-Neumann applies — the
+    gather-free TPU fast path for triangular solves.
+
+    Exact sparse triangular solves are wavefront-sequential; on this TPU
+    each wavefront costs ~25 us of per-op overhead, so a 256-grid ILU(0)
+    apply pays ~500 levels of latency. Instead the solves are approximated
+    by ``sweeps`` Jacobi iterations of the triangle (SURVEY §7's documented
+    fallback):
+
+        L x = b  (unit diag):  x_{k+1} = b - L_strict x_k
+        U x = b:               x_{k+1} = D_U^{-1} (b - U_strict x_k)
+
+    Each sweep is one DIA SpMV (shifted slices, no gathers). The truncated
+    solve makes M slightly nonsymmetric/weaker (use with GMRES/BiCGStab;
+    iteration deltas documented in tests), in exchange for two orders of
+    magnitude lower apply latency on TPU.
+    """
+
+    Lstrict: "object"  # DIAOperator, strictly-lower part of L
+    Ustrict: "object"  # DIAOperator, strictly-upper part of U
+    u_inv_diag: Array
+    sweeps: int = dataclasses.field(default=6, metadata=dict(static=True))
+
+    def apply(self, r: Array) -> Array:
+        x = r
+        for _ in range(self.sweeps):
+            x = r - self.Lstrict.matvec(x)
+        y = self.u_inv_diag * x
+        for _ in range(self.sweeps):
+            y = self.u_inv_diag * (x - self.Ustrict.matvec(y))
+        return y
+
+
+register_dataclass(
+    ILUDiaPC,
+    data_fields=["Lstrict", "Ustrict", "u_inv_diag"],
+    meta_fields=["sweeps"],
+)
+
+
+def _rowdicts_to_dia_LU(rows, n, dtype, sweeps: int) -> ILUDiaPC:
+    from kryst_tpu.ops.dia import scipy_to_dia
+    import scipy.sparse as sp
+
+    lr, lc, lv, ur, uc, uv, ud = [], [], [], [], [], [], np.ones(n)
+    for i, row in enumerate(rows):
+        for j, v in row.items():
+            if j < i:
+                lr.append(i); lc.append(j); lv.append(v)
+            elif j > i:
+                ur.append(i); uc.append(j); uv.append(v)
+            else:
+                ud[i] = v
+    Ls = sp.csr_matrix((lv, (lr, lc)), shape=(n, n))
+    Us = sp.csr_matrix((uv, (ur, uc)), shape=(n, n))
+    inv_ud = np.where(ud != 0, 1.0 / np.where(ud != 0, ud, 1.0), 0.0)
+    return ILUDiaPC(
+        Lstrict=scipy_to_dia(Ls, dtype=dtype),
+        Ustrict=scipy_to_dia(Us, dtype=dtype),
+        u_inv_diag=jnp.asarray(inv_ud.astype(dtype)),
+        sweeps=sweeps,
+    )
+
+
+def ilu0_dia(a: CSRMatrix, sweeps: int = 6, dtype=None) -> ILUDiaPC:
+    """ILU(0) with DIA triangles + truncated-Neumann applies (TPU path).
+    Same factorization as :func:`ilu0`; only the apply differs."""
+    n = a.shape[0]
+    dtype = dtype or a.data.dtype
+    rows = _factor_ikj(_csr_to_rowdicts(a), n)
+    return _rowdicts_to_dia_LU(rows, n, dtype, sweeps)
+
+
 def _csr_to_rowdicts(a: CSRMatrix):
     rows = []
     for i in range(a.shape[0]):

@@ -94,20 +94,35 @@ def _orthogonalize_mgs2(V, w, j, axis_name=None):
 
 
 def _apply_stored_givens(h, cs, sn, j):
-    """Apply rotations 0..j-1 to the new column h (gmres.rs:154-176)."""
+    """Apply rotations 0..j-1 to the new column h (gmres.rs:154-176).
+
+    The rotation chain is a first-order affine recurrence on the running
+    value v_i (the partially-rotated h_i):
+
+        v_0 = h_0;   v_{i+1} = (-s_i) v_i + c_i h_{i+1}
+        out_i = c_i v_i + s_i h_{i+1}          (for i < j)
+
+    evaluated with ``lax.associative_scan`` in O(log m) vector steps —
+    the sequential fori_loop version cost ~3 launch-bound scalar ops per
+    rotation (~2.3 ms per Arnoldi step at restart 30 on this TPU).
+    Inactive rotations (i >= j) use the identity (c=1, s=0), which makes
+    v_{i+1} = h_{i+1}, so untouched entries pass through unchanged.
+    """
     m = cs.shape[0]
+    active = jnp.arange(m) < j
+    c = jnp.where(active, cs, 1.0)
+    s = jnp.where(active, sn, 0.0)
+    a = -s
+    b = c * h[1:]
 
-    def body(i, h):
-        hi = h[i]
-        hi1 = h[i + 1]
-        new_i = cs[i] * hi + sn[i] * hi1
-        new_i1 = -sn[i] * hi + cs[i] * hi1
-        apply = i < j
-        h = h.at[i].set(jnp.where(apply, new_i, hi))
-        h = h.at[i + 1].set(jnp.where(apply, new_i1, hi1))
-        return h
+    def comb(x, y):
+        return (y[0] * x[0], y[0] * x[1] + y[1])
 
-    return lax.fori_loop(0, m, body, h)
+    A_, B_ = lax.associative_scan(comb, (a, b))
+    v = jnp.concatenate([h[:1], A_ * h[0] + B_])  # v_i, i = 0..m
+    rot = c * v[:m] + s * h[1:]
+    idx = jnp.arange(m + 1)
+    return jnp.where(idx < j, jnp.concatenate([rot, v[-1:]]), v)
 
 
 def _new_givens(a, b):
