@@ -76,6 +76,7 @@ def main():
     # --- multigrid-preconditioned PCG (BASELINE config 4 proper) --------
     t_best = t_solve
     metric = "poisson3d_1M_pcg_jacobi_time_to_rtol1e-8_f32"
+    t_refined = None
     try:
         from kryst_tpu.pc.gmg import GMGPC
 
@@ -96,9 +97,32 @@ def main():
         if bool(sg.reached_tol) and t_gmg < t_best:
             t_best = t_gmg
             metric = "poisson3d_1M_pcg_multigrid_time_to_rtol1e-8_f32"
+
+        # headline: mixed-precision refinement — TRUE f64 residual <= 1e-8
+        # at f32 speed (the honest reading of the BASELINE target)
+        from kryst_tpu.solvers.refine import iterative_refinement
+
+        inner = jax.jit(lambda rhs: pcg(A, rhs, M=pc, tol=1e-5, maxiter=40))
+        _ = inner(b)[0].block_until_ready()  # warm the compile
+        b64 = np.ones(n)
+        t_refined = None
+        for _rep in range(2):  # min-of-2: first pass pays host-side warmup
+            t0 = time.time()
+            xr, info = iterative_refinement(a, b64, inner, tol=1e-8)
+            t_rep = time.time() - t0
+            t_refined = t_rep if t_refined is None else min(t_refined, t_rep)
+        log(
+            f"refined (TRUE rtol<=1e-8) 1M dof: {t_refined:.3f}s, "
+            f"outer={info['outer_iterations']}, "
+            f"inner_total={info['inner_iterations']}, "
+            f"final true rel={info['history'][-1]:.2e}"
+        )
     except Exception as e:  # diagnostics only — never break the bench
         log(f"GMG bench skipped: {type(e).__name__}: {e}")
 
+    if t_refined is not None:
+        metric = "poisson3d_1M_multigrid_refined_TRUE_rtol1e-8"
+        t_best = t_refined
     print(
         json.dumps(
             {

@@ -39,7 +39,13 @@ from kryst_tpu.pc.block_jacobi import BlockJacobiPC
 from kryst_tpu.pc.chebyshev import ChebyshevPC
 from kryst_tpu.pc.ilu import ILUPC, ilu0, ilup, ilut
 from kryst_tpu.pc.jacobi import JacobiPC
-from kryst_tpu.pc.sor import SORPC, SweepType, gauss_seidel, ssor
+from kryst_tpu.pc.sor import (
+    MulticolorSORPC,
+    SORPC,
+    SweepType,
+    gauss_seidel,
+    ssor,
+)
 from kryst_tpu.pc.spai import SPAIPC, spai_setup
 from kryst_tpu.solvers.bicgstab import bicgstab
 from kryst_tpu.solvers.cg import cg, pcg

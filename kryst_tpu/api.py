@@ -119,6 +119,10 @@ class PCConfig:
         return cls("multicolor")
 
     @classmethod
+    def multicolor_sor(cls, omega: float = 1.0, its: int = 1):
+        return cls("multicolor_sor", (("omega", omega), ("its", its)))
+
+    @classmethod
     def amg(cls, **kw):
         return cls("amg", tuple(sorted(kw.items())))
 
@@ -161,6 +165,13 @@ class PCConfig:
             return SORPC.setup(
                 a_host, omega=kw.get("omega", 1.0), its=kw.get("its", 1),
                 sweep=sweep, dtype=dtype,
+            )
+        if kind == "multicolor_sor":
+            from kryst_tpu.pc.sor import MulticolorSORPC
+
+            return MulticolorSORPC.setup(
+                a_host, omega=kw.get("omega", 1.0), its=kw.get("its", 1),
+                dtype=dtype,
             )
         if kind == "ilu0":
             from kryst_tpu.pc.ilu import ilu0
@@ -245,6 +256,7 @@ _PC_ALIASES = {
     "approx_inv": PCConfig.approx_inv,
     "block_jacobi": PCConfig.block_jacobi,
     "multicolor": PCConfig.multicolor,
+    "multicolor_sor": PCConfig.multicolor_sor,
     "amg": PCConfig.amg,
     "asm": PCConfig.additive_schwarz,
     "additive_schwarz": PCConfig.additive_schwarz,

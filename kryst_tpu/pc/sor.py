@@ -139,6 +139,81 @@ register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class MulticolorSORPC:
+    """Multicolor (e.g. red-black) SOR — the gather-free TPU smoother.
+
+    The reference reserves ``PC::Multicolor`` for exactly this
+    (pc_context.rs:64, unimplemented there; coloring.rs provides the
+    coloring). Updating one color with all other colors at their latest
+    values is Gauss-Seidel in the color ordering, and it can be written as
+    a *masked Jacobi step*:
+
+        z <- z + mask_c * omega * D^-1 (r - A z)
+
+    i.e. one full DIA matvec per color per sweep — no triangular solve, no
+    wavefront latency, no gathers. For 5/7-point stencils two colors
+    suffice, so a sweep costs 2 SpMVs. Update ORDER differs from the
+    lexicographic reference sweep (the standard, documented multicolor
+    trade).
+    """
+
+    A: object  # DIAOperator
+    inv_diag: Array
+    color_masks: Array  # (ncolors, n) in {0,1}
+    omega: float = dataclasses.field(metadata=dict(static=True))
+    its: int = dataclasses.field(metadata=dict(static=True))
+    symmetric: bool = dataclasses.field(default=True, metadata=dict(static=True))
+
+    def apply(self, r: Array) -> Array:
+        z = jnp.zeros_like(r)
+        nc = self.color_masks.shape[0]
+        order = list(range(nc))
+        sweeps = order + order[::-1] if self.symmetric else order
+        for _ in range(self.its):
+            for c in sweeps:
+                z = z + self.color_masks[c] * (
+                    self.omega * self.inv_diag * (r - self.A.matvec(z))
+                )
+        return z
+
+    @staticmethod
+    def setup(
+        a: CSRMatrix,
+        omega: float = 1.0,
+        its: int = 1,
+        symmetric: bool = True,
+        dtype=None,
+    ) -> "MulticolorSORPC":
+        from kryst_tpu.ops.dia import csr_to_dia
+        from kryst_tpu.pc.coloring import color_graph
+
+        dtype = dtype or a.data.dtype
+        colors = color_graph(a, distance=1)
+        ncolors = int(colors.max()) + 1
+        masks = np.stack(
+            [(colors == c).astype(dtype) for c in range(ncolors)]
+        )
+        d = a.diag().astype(dtype)
+        if np.any(d == 0):
+            raise ZeroDivisionError("MulticolorSOR setup: zero diagonal entry")
+        return MulticolorSORPC(
+            A=csr_to_dia(a, dtype=dtype),
+            inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
+            color_masks=jnp.asarray(masks),
+            omega=float(omega),
+            its=int(its),
+            symmetric=symmetric,
+        )
+
+
+register_dataclass(
+    MulticolorSORPC,
+    data_fields=["A", "inv_diag", "color_masks"],
+    meta_fields=["omega", "its", "symmetric"],
+)
+
+
 def gauss_seidel(a: CSRMatrix, its: int = 1, **kw) -> SORPC:
     """Forward Gauss-Seidel = SOR with omega=1."""
     return SORPC.setup(a, omega=1.0, its=its, sweep=SweepType.FORWARD, **kw)

@@ -1,0 +1,77 @@
+"""Mixed-precision iterative refinement.
+
+The TPU-native answer to SURVEY §7's "f64 on TPU" tension: v5e f32 solves
+stall at a true-residual floor of ~eps*kappa (measured: 4.9e-4 on 1M-dof
+Poisson, 3.8e-4 on 256^2 convection-diffusion), while full-f64 emulation
+runs ~50-100x slower (measured: 10.6 s vs 0.073 s for config 2). Classic
+iterative refinement gets f64-accurate solutions at f32 speed:
+
+    repeat:  r = b - A x        (host, f64 sparse matvec — exact)
+             solve A d = r/||r|| in f32 on device to a loose tolerance
+             x += ||r|| * d     (host, f64)
+
+Each outer pass multiplies the true residual by roughly the inner
+tolerance, so reaching rtol 1e-10 takes ~3-4 fast f32 solves. The residual
+is normalized before the device solve so f32 dynamic range is never the
+limiter.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from kryst_tpu.matrix.csr import CSRMatrix
+
+
+def iterative_refinement(
+    a_host: CSRMatrix,
+    b,
+    inner_solve: Callable,
+    *,
+    tol: float = 1e-10,
+    max_outer: int = 8,
+) -> Tuple[np.ndarray, dict]:
+    """Refine to f64 accuracy using a low-precision device solver.
+
+    ``inner_solve(rhs_f32) -> (d, stats)`` solves A d ≈ rhs on device (any
+    kryst_tpu solver closed over the f32 operator/PC, typically jitted with
+    a loose ``tol`` like 1e-4..1e-6).
+
+    Returns ``(x_f64, info)`` with per-pass true relative residuals in
+    ``info['history']``.
+    """
+    import scipy.sparse as sp
+
+    As = sp.csr_matrix(
+        (a_host.data.astype(np.float64), a_host.indices, a_host.indptr),
+        shape=a_host.shape,
+    )
+    b = np.asarray(b, dtype=np.float64)
+    bnorm = np.linalg.norm(b)
+    if bnorm == 0:
+        return np.zeros_like(b), {"history": [0.0], "outer_iterations": 0,
+                                  "inner_iterations": 0, "converged": True}
+    x = np.zeros_like(b)
+    history: List[float] = []
+    inner_total = 0
+    for k in range(max_outer):
+        r = b - As @ x
+        rel = float(np.linalg.norm(r) / bnorm)
+        history.append(rel)
+        if rel <= tol:
+            break
+        rnorm = np.linalg.norm(r)
+        d, stats = inner_solve(jnp.asarray((r / rnorm).astype(np.float32)))
+        inner_total += int(stats.iterations)
+        x = x + rnorm * np.asarray(d, dtype=np.float64)
+    else:
+        r = b - As @ x
+        history.append(float(np.linalg.norm(r) / bnorm))
+    return x, {
+        "history": history,
+        "outer_iterations": len(history) - 1,
+        "inner_iterations": inner_total,
+        "converged": history[-1] <= tol,
+    }

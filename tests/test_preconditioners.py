@@ -186,6 +186,42 @@ def test_sor_multiple_iterations_improve():
     assert np.linalg.norm(z5 - exact) < np.linalg.norm(z1 - exact)
 
 
+def test_multicolor_sor_redblack_equivalence():
+    # on a 5-point stencil: 2 colors; one sweep must equal a hand-rolled
+    # red-black Gauss-Seidel update
+    from kryst_tpu.pc.sor import MulticolorSORPC
+    from kryst_tpu.pc.coloring import color_graph
+
+    a = gallery.poisson_2d(8)
+    dense = a.todense()
+    colors = color_graph(a, distance=1)
+    pc = MulticolorSORPC.setup(a, omega=1.0, its=1, symmetric=False)
+    assert pc.color_masks.shape[0] == 2
+    r = np.random.default_rng(11).standard_normal(64)
+    z = np.zeros(64)
+    d = np.diag(dense)
+    for c in (0, 1):  # red then black, each using latest values
+        rows = colors == c
+        z[rows] = z[rows] + (r[rows] - dense[rows] @ z) / d[rows]
+    np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(r))), z, atol=1e-12)
+
+
+def test_multicolor_ssor_pcg():
+    from kryst_tpu.pc.sor import MulticolorSORPC
+
+    a = gallery.poisson_2d(16)
+    from kryst_tpu.ops.dia import csr_to_dia
+
+    A = csr_to_dia(a)
+    b = jnp.ones(256)
+    pc = MulticolorSORPC.setup(a, omega=1.2, its=1, symmetric=True)
+    x, s = pcg(A, b, M=pc, tol=1e-9, maxiter=300)
+    assert bool(s.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(256)), atol=1e-6
+    )
+
+
 def test_sor_zero_pivot_raises():
     a = CSRMatrix.from_dense(np.diag([1.0, 0.0, 2.0]))
     with pytest.raises(ZeroDivisionError):
