@@ -28,7 +28,6 @@ import enum
 from typing import Any, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from kryst_tpu.core.linop import as_operator
 from kryst_tpu.matrix.csr import CSRMatrix

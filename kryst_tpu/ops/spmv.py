@@ -7,21 +7,11 @@ SpMV is a gather + multiply + row-reduce:
 
     y[i] = sum_j data[i, j] * x[cols[i, j]]
 
-Two code paths:
-- ``ell_spmv_xla``: pure jnp; XLA fuses the gather+mul+sum into one pass.
-- ``ell_spmv_pallas``: Pallas TPU kernel that tiles rows into VMEM blocks
-  and keeps the whole ``x`` vector resident in VMEM (valid for n up to a
-  few M at f32), avoiding re-fetch of x per nonzero.
-
-``ell_spmv`` dispatches: Pallas on TPU when shapes are tile-friendly,
-XLA elsewhere (CPU tests, odd shapes).
+See ``ell_spmv`` for the measured TPU performance caveat and the DIA
+escape hatch (ops/dia.py).
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 
 
 def ell_spmv_xla(data, cols, x):

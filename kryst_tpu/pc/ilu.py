@@ -21,8 +21,6 @@ Fidelity notes vs the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from jax import Array

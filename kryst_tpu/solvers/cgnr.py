@@ -21,7 +21,6 @@ from jax import Array, lax
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
 from kryst_tpu.solvers._common import (
-    default_x0,
     dot,
     init_history,
     push_history,

@@ -14,9 +14,6 @@ QR handles square and rectangular (least-squares) systems
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax import Array

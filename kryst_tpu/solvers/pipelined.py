@@ -140,7 +140,7 @@ def pipecg(
         final.it,
         res_true,
         safe_div(res_true, res0),
-        res_true <= jnp.maximum(threshold, res_true * 0 + threshold),
+        res_true <= threshold,
         final.breakdown,
         maxiter,
         final.hist,
