@@ -9,12 +9,13 @@ small dataclasses as pytrees so operators can be passed straight through
 Operator formats
 ----------------
 - :class:`DenseOperator` — wraps a 2-D array; matvec on the MXU.
-- :class:`ELLOperator` — the primary sparse format. ELLPACK: every row is
+- :class:`ELLOperator` — general sparse format. ELLPACK: every row is
   padded to a fixed ``k`` nonzeros (pad entries have value 0, column 0), so
-  the SpMV is a fully regular gather + multiply + row-sum that vectorizes
-  on the VPU and lowers to a Pallas kernel (ops/spmv.py). This replaces the
-  reference's CSR-densifying ``spmv`` (src/matrix/sparse.rs:56-67) with a
-  real sparse kernel.
+  the SpMV is a fully regular gather + multiply + row-sum. This replaces
+  the reference's CSR-densifying ``spmv`` (src/matrix/sparse.rs:56-67)
+  with a real sparse kernel — but note the measured TPU gather cliff
+  (ops/spmv.py): on the hot path prefer ``DIAOperator`` (ops/dia.py),
+  which ``api.solve`` selects automatically when the structure allows.
 - :class:`StencilOperator2D` / :class:`StencilOperator3D` — constant/variable
   coefficient structured-grid operators whose matvec is a sum of shifted
   adds (no gather at all): the speed-of-light path for the Poisson /
