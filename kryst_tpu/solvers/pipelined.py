@@ -61,11 +61,18 @@ def pipecg(
     tol: float = 1e-8,
     atol: float = 0.0,
     maxiter: Optional[int] = None,
+    replace_every: int = 50,
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
     """Returns ``(x, SolveStats)``. Equivalent to :func:`kryst_tpu.pcg` with
-    one fused reduction per iteration (Ghysels–Vanroose Algorithm 4)."""
+    one fused reduction per iteration (Ghysels–Vanroose Algorithm 4).
+
+    ``replace_every``: period of *residual replacement* (Cools–Vanroose
+    stabilization): every k iterations the recurred vectors r/u/w/s/q/z are
+    recomputed from x and p directly, resetting the O(sqrt(eps)) drift the
+    extra recurrences accumulate — essential in f32. 0 disables.
+    """
     A = as_operator(A)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
@@ -117,10 +124,31 @@ def pipecg(
         u_new = c.u - alpha * q
         w_new = c.w - alpha * z
 
+        it = c.it + 1
+        if replace_every:
+            # periodic residual replacement: recompute the recurred vectors
+            # from x and p exactly (two matvecs + two PC applies)
+            def replaced(args):
+                x_, p_ = args
+                r_ = b - A.matvec(x_)
+                u_ = apply_M(r_)
+                w_ = A.matvec(u_)
+                s_ = A.matvec(p_)
+                q_ = apply_M(s_)
+                z_ = A.matvec(q_)
+                return r_, u_, w_, s_, q_, z_
+
+            def kept(args):
+                return r_new, u_new, w_new, s, q, z
+
+            do_replace = (it % replace_every) == 0
+            r_new, u_new, w_new, s, q, z = lax.cond(
+                do_replace, replaced, kept, (x_new, p)
+            )
+
         res = jnp.sqrt(jnp.maximum(rr, 0.0))
         # note: rr is <r,r> of the *incoming* r; the freshest residual norm
         # lags one iteration — the standard pipelined-CG trade
-        it = c.it + 1
         reached = res <= threshold
         done = reached | indefinite
         brk = jnp.where(
