@@ -103,21 +103,28 @@ def main():
         # at f32 speed (the honest reading of the BASELINE target)
         from kryst_tpu.solvers.refine import iterative_refinement
 
-        inner = jax.jit(lambda rhs: pcg(A, rhs, M=pc, tol=1e-5, maxiter=40))
-        _ = inner(b)[0].block_until_ready()  # warm the compile
         b64 = np.ones(n)
-        t_refined = None
-        for _rep in range(2):  # min-of-2: first pass pays host-side warmup
-            t0 = time.time()
-            xr, info = iterative_refinement(a, b64, inner, tol=1e-8)
-            t_rep = time.time() - t0
-            t_refined = t_rep if t_refined is None else min(t_refined, t_rep)
-        log(
-            f"refined (TRUE rtol<=1e-8) 1M dof: {t_refined:.3f}s, "
-            f"outer={info['outer_iterations']}, "
-            f"inner_total={info['inner_iterations']}, "
-            f"final true rel={info['history'][-1]:.2e}"
-        )
+        for attempt in range(3):  # remote-compile relay is occasionally flaky
+            try:
+                inner = jax.jit(lambda rhs: pcg(A, rhs, M=pc, tol=1e-5, maxiter=40))
+                _ = inner(b)[0].block_until_ready()  # warm the compile
+                t_refined = None
+                for _rep in range(2):  # min-of-2: first pass pays warmup
+                    t0 = time.time()
+                    xr, info = iterative_refinement(a, b64, inner, tol=1e-8)
+                    t_rep = time.time() - t0
+                    t_refined = t_rep if t_refined is None else min(t_refined, t_rep)
+                log(
+                    f"refined (TRUE rtol<=1e-8) 1M dof: {t_refined:.3f}s, "
+                    f"outer={info['outer_iterations']}, "
+                    f"inner_total={info['inner_iterations']}, "
+                    f"final true rel={info['history'][-1]:.2e}"
+                )
+                break
+            except Exception as e:
+                t_refined = None
+                log(f"refined attempt {attempt}: {type(e).__name__}: {e}")
+                time.sleep(5)
     except Exception as e:  # diagnostics only — never break the bench
         log(f"GMG bench skipped: {type(e).__name__}: {e}")
 

@@ -286,6 +286,116 @@ def np_cgnr(A, b, x0=None, tol=1e-8, maxiter=1000):
     return x, maxiter, hist
 
 
+def np_qmr(A, b, x0=None, tol=1e-8, maxiter=1000):
+    """QMR (Templates formulation; qmr.rs), convergence on the true
+    residual recomputed each iteration (qmr.rs:147-153)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
+    r = b - A @ x
+    res0 = np.linalg.norm(r)
+    hist = [res0]
+    if res0 == 0:
+        return x, 0, hist
+    v_tld = r.copy()
+    w_tld = r.copy()
+    rho = res0
+    xi = res0
+    gamma, eta, theta, eps = 1.0, -1.0, 0.0, 1.0
+    p = np.zeros_like(b)
+    q = np.zeros_like(b)
+    d = np.zeros_like(b)
+    for i in range(maxiter):
+        if abs(rho) < 1e-30 or abs(xi) < 1e-30:
+            return x, i, hist
+        v = v_tld / rho
+        w = w_tld / xi
+        delta = w @ v
+        if abs(delta) < 1e-30:
+            return x, i, hist
+        p = v - (xi * delta / eps) * p
+        q = w - (rho * delta / eps) * q
+        p_tld = A @ p
+        eps = q @ p_tld
+        if abs(eps) < 1e-30:
+            return x, i, hist
+        beta = eps / delta
+        if abs(beta) < 1e-30:
+            return x, i, hist
+        v_tld = p_tld - beta * v
+        rho_new = np.linalg.norm(v_tld)
+        w_tld = A.T @ q - beta * w
+        xi = np.linalg.norm(w_tld)
+        theta_new = rho_new / (gamma * abs(beta))
+        gamma_new = 1.0 / np.sqrt(1.0 + theta_new ** 2)
+        if gamma_new == 0:
+            return x, i, hist
+        eta = -eta * rho * gamma_new ** 2 / (beta * gamma ** 2)
+        tg2 = (theta * gamma_new) ** 2
+        d = eta * p + tg2 * d
+        x = x + d
+        rho, gamma, theta = rho_new, gamma_new, theta_new
+        res = np.linalg.norm(b - A @ x)
+        hist.append(res)
+        if res / res0 <= tol:
+            return x, i + 1, hist
+    return x, maxiter, hist
+
+
+def np_tfqmr(A, b, x0=None, tol=1e-8, maxiter=1000):
+    """TFQMR with the two-substep inner loop and dpest = sqrt(2k+m+2)*tau
+    (tfqmr.rs:157-198,186)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
+    r = b - A @ x
+    rstar = r.copy()
+    res0 = np.linalg.norm(r)
+    hist = [res0]
+    if res0 == 0:
+        return x, 0, hist
+    w = r.copy()
+    y1 = r.copy()
+    u1 = A @ y1
+    v = u1.copy()
+    d = np.zeros_like(b)
+    tau = res0
+    theta = eta = 0.0
+    rho = rstar @ r
+    for k in range(maxiter):
+        sigma = rstar @ v
+        if abs(sigma) < 1e-30:
+            return x, k, hist
+        alpha = rho / sigma
+        y2 = y1 - alpha * v
+        u2 = A @ y2
+        done = False
+        for m_idx, (ym, um) in enumerate(((y1, u1), (y2, u2)), start=1):
+            w = w - alpha * um
+            d = ym + (theta ** 2 * eta / alpha) * d
+            theta = np.linalg.norm(w) / tau
+            c = 1.0 / np.sqrt(1.0 + theta ** 2)
+            tau = tau * theta * c
+            eta = c * c * alpha
+            x = x + eta * d
+            dpest = np.sqrt(2.0 * k + m_idx + 2.0) * tau
+            if dpest / res0 <= tol:
+                done = True
+                break
+        hist.append(dpest)
+        if done:
+            return x, k + 1, hist
+        rho_new = rstar @ w
+        if abs(rho_new) < 1e-30:
+            return x, k + 1, hist
+        beta = rho_new / rho
+        rho = rho_new
+        y1 = w + beta * y2
+        u1 = A @ y1
+        v = u1 + beta * (u2 + beta * v)
+    return x, maxiter, hist
+
+
 def np_minres(A, b, x0=None, tol=1e-8, maxiter=1000):
     """MINRES (Paige-Saunders; minres.rs structure)."""
     A = np.asarray(A, dtype=np.float64)

@@ -107,6 +107,28 @@ def test_parity_cgnr():
     assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
 
 
+def test_parity_qmr():
+    from kryst_tpu.solvers.qmr import qmr as jqmr
+
+    a = gallery.convection_diffusion_2d(12)
+    dense = a.todense()
+    b = np.ones(144)
+    x_ref, it_ref, _ = np_ref.np_qmr(dense, b, tol=RTOL, maxiter=600)
+    x, st = jqmr(a.to_ell(), jnp.asarray(b), tol=RTOL, maxiter=600)
+    assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
+
+
+def test_parity_tfqmr():
+    from kryst_tpu.solvers.tfqmr import tfqmr as jtfqmr
+
+    a = gallery.convection_diffusion_2d(12)
+    dense = a.todense()
+    b = np.ones(144)
+    x_ref, it_ref, _ = np_ref.np_tfqmr(dense, b, tol=RTOL, maxiter=600)
+    x, st = jtfqmr(a.to_ell(), jnp.asarray(b), tol=RTOL, maxiter=600)
+    assert abs(int(st.iterations) - it_ref) <= BUDGET, (int(st.iterations), it_ref)
+
+
 def test_parity_histories_track():
     # residual histories agree to a few percent along the way (not just
     # the endpoint) — catches silent algorithmic drift
