@@ -199,9 +199,15 @@ def shard_schwarz(
 
 
 def _m_specs(M, axis: str):
-    """Partition specs for a PC pytree: 1-D leaves shard on the axis, 2-D
-    leaves (coefficient planes) shard their last dim, scalars replicate."""
+    """Partition specs for a PC pytree. PCs with bespoke layouts implement
+    ``partition_spec(axis)`` (e.g. the sharded multigrid, whose coarse
+    inverse is replicated); otherwise by leaf rank: 1-D leaves shard on the
+    axis, 2-D leaves (coefficient planes) shard their last dim, scalars
+    replicate."""
     import jax.tree_util as jtu
+
+    if hasattr(M, "partition_spec"):
+        return M.partition_spec(axis)
 
     def spec(leaf):
         nd = getattr(leaf, "ndim", 0)
