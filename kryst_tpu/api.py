@@ -223,23 +223,42 @@ class PCConfig:
 
 def parse_pc_options(opts: dict) -> PCConfig:
     """String-typed options parser (reference PcOptions, options.rs:11-20):
-    ``{"pc_type": "ssor", "omega": 1.3, "drop_tol": 1e-4, ...}``."""
-    pc_type = str(opts.get("pc_type", "none")).lower()
-    if pc_type in ("none", ""):
-        return PCConfig.none()
-    if pc_type == "jacobi":
-        return PCConfig.jacobi()
-    if pc_type == "ssor":
-        return PCConfig.ssor(omega=float(opts.get("omega", 1.0)))
-    if pc_type == "sor":
-        return PCConfig.sor(omega=float(opts.get("omega", 1.0)))
-    if pc_type == "ilu0":
-        return PCConfig.ilu0()
-    if pc_type == "ilut":
-        return PCConfig.ilut(droptol=float(opts.get("drop_tol", 1e-4)))
-    if pc_type in _PC_ALIASES:
-        return _PC_ALIASES[pc_type]()
-    raise ValueError(f"unknown pc_type {pc_type!r}")
+    ``{"pc_type": "ssor", "omega": 1.3, "drop_tol": 1e-4, ...}``.
+    Every recognized key is forwarded; unknown keys raise."""
+    opts = dict(opts)
+    pc_type = str(opts.pop("pc_type", "none")).lower()
+    if "drop_tol" in opts:  # reference spelling (options.rs:18)
+        opts["droptol"] = opts.pop("drop_tol")
+
+    builders = {
+        "none": (PCConfig.none, ()),
+        "jacobi": (PCConfig.jacobi, ()),
+        "ssor": (PCConfig.ssor, ("omega", "its")),
+        "sor": (PCConfig.sor, ("omega", "its")),
+        "multicolor_sor": (PCConfig.multicolor_sor, ("omega", "its")),
+        "ilu0": (PCConfig.ilu0, ()),
+        "ilup": (PCConfig.ilup, ("fill",)),
+        "ilut": (PCConfig.ilut, ("fill", "droptol")),
+        "chebyshev": (PCConfig.chebyshev, ("degree", "emin", "emax")),
+        "spai": (PCConfig.approx_inv, ()),
+        "approx_inv": (PCConfig.approx_inv, ()),
+        "block_jacobi": (PCConfig.block_jacobi, ("nblocks",)),
+        "multicolor": (PCConfig.multicolor, ()),
+        "asm": (PCConfig.additive_schwarz, ("nblocks", "overlap")),
+        "additive_schwarz": (PCConfig.additive_schwarz, ("nblocks", "overlap")),
+        "amg": (PCConfig.amg, None),  # None = pass everything through
+    }
+    if pc_type == "" or pc_type not in builders:
+        if pc_type == "":
+            return PCConfig.none()
+        raise ValueError(f"unknown pc_type {pc_type!r}")
+    builder, allowed = builders[pc_type]
+    if allowed is None:
+        return builder(**opts)
+    unknown = set(opts) - set(allowed)
+    if unknown:
+        raise ValueError(f"pc_type {pc_type!r} does not accept {sorted(unknown)}")
+    return builder(**{k: opts[k] for k in allowed if k in opts})
 
 
 _PC_ALIASES = {
@@ -310,7 +329,26 @@ def solve(
     A = as_operator(A)
     b = jnp.asarray(b)
     dtype = b.dtype
-    M = _resolve_pc(pc, a_host, A, dtype)
+
+    # solvers that take no preconditioner: CG's silence is the documented
+    # reference quirk (cg.rs:115); for the rest a supplied pc would be
+    # silently dropped (and its setup wasted), so refuse loudly
+    _no_pc = {
+        SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR, SolverKind.MINRES,
+        SolverKind.CGNR, SolverKind.CGNE, SolverKind.LU, SolverKind.QR,
+    }
+    wants_pc = pc is not None and not (
+        isinstance(pc, (str, PCConfig))
+        and (pc == "none" or getattr(pc, "kind", None) == "none")
+    )
+    if kind in _no_pc and wants_pc:
+        raise ValueError(
+            f"solver {kind.value!r} does not accept a preconditioner; "
+            "use pcg/gmres/fgmres/bicgstab/pipecg/ca_gmres, or pc=None"
+        )
+    M = None
+    if kind not in _no_pc and kind != SolverKind.CG:
+        M = _resolve_pc(pc, a_host, A, dtype)
     mi = maxiter if maxiter is not None else max(b.shape[0], 100)
 
     if kind == SolverKind.CG:

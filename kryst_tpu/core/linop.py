@@ -206,18 +206,25 @@ class StencilOperator3D:
     def dtype(self):
         return jnp.asarray(self.c).dtype
 
+    @staticmethod
+    def _slices(axis):
+        lo_sl = [slice(None)] * 3
+        hi_sl = [slice(None)] * 3
+        lo_sl[axis] = slice(1, None)
+        hi_sl[axis] = slice(None, -1)
+        return tuple(lo_sl), tuple(hi_sl)
+
     def matvec(self, x: Array) -> Array:
         nx, ny, nz = self.grid
         g = x.reshape(nx, ny, nz)
         y = self.c * g
         for axis in range(3):
-            lo_sl = [slice(None)] * 3
-            hi_sl = [slice(None)] * 3
-            lo_sl[axis] = slice(1, None)
-            hi_sl[axis] = slice(None, -1)
-            lo_sl, hi_sl = tuple(lo_sl), tuple(hi_sl)
-            y = y.at[lo_sl].add(self.lo[axis] * g[hi_sl])
-            y = y.at[hi_sl].add(self.hi[axis] * g[lo_sl])
+            lo_sl, hi_sl = self._slices(axis)
+            cl, ch = self.lo[axis], self.hi[axis]
+            # grid-valued coefficients index at the DESTINATION row,
+            # mirroring StencilOperator2D
+            y = y.at[lo_sl].add((cl if jnp.ndim(cl) == 0 else cl[lo_sl]) * g[hi_sl])
+            y = y.at[hi_sl].add((ch if jnp.ndim(ch) == 0 else ch[hi_sl]) * g[lo_sl])
         return y.reshape(-1)
 
     def rmatvec(self, x: Array) -> Array:
@@ -225,13 +232,11 @@ class StencilOperator3D:
         g = x.reshape(nx, ny, nz)
         y = self.c * g
         for axis in range(3):
-            lo_sl = [slice(None)] * 3
-            hi_sl = [slice(None)] * 3
-            lo_sl[axis] = slice(1, None)
-            hi_sl[axis] = slice(None, -1)
-            lo_sl, hi_sl = tuple(lo_sl), tuple(hi_sl)
-            y = y.at[hi_sl].add(self.lo[axis] * g[lo_sl])
-            y = y.at[lo_sl].add(self.hi[axis] * g[hi_sl])
+            lo_sl, hi_sl = self._slices(axis)
+            cl, ch = self.lo[axis], self.hi[axis]
+            # transpose: row j's lo coefficient contributes at j-1
+            y = y.at[hi_sl].add((cl if jnp.ndim(cl) == 0 else cl[lo_sl]) * g[lo_sl])
+            y = y.at[lo_sl].add((ch if jnp.ndim(ch) == 0 else ch[hi_sl]) * g[hi_sl])
         return y.reshape(-1)
 
     def diagonal(self) -> Array:

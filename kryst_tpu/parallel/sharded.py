@@ -155,20 +155,11 @@ class ShardSchwarzPC:
         return dia_spmv_xla(self.data, self.offsets, v)
 
     def apply(self, r: Array) -> Array:
-        theta = (self.emax + self.emin) / 2.0
-        delta = (self.emax - self.emin) / 2.0
-        sigma1 = theta / delta
-        rho = 1.0 / sigma1
-        d = r / theta
-        z = d
-        res = r - self._local_matvec(z)
-        for _ in range(self.degree - 1):
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            z = z + d
-            res = res - self._local_matvec(d)
-            rho = rho_new
-        return z
+        from kryst_tpu.pc.chebyshev import chebyshev_apply
+
+        return chebyshev_apply(
+            self._local_matvec, r, self.emin, self.emax, self.degree
+        )
 
 
 register_dataclass(
@@ -237,6 +228,11 @@ def sharded_solve(
     distributed diagonal) or be None.
     """
     mesh = mesh or solver_mesh()
+
+    # inside shard_map the solver sees only the LOCAL rows, so its
+    # "maxiter = n" default would silently cap iterations at n/n_shards —
+    # pin the default to the GLOBAL size here
+    solver_kw.setdefault("maxiter", int(b.shape[0]))
 
     in_specs = (P(None, axis), P(axis), _m_specs(M, axis) if M is not None else P())
     m_arg = M if M is not None else jnp.zeros((), dtype=b.dtype)

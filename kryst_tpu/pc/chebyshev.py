@@ -28,6 +28,32 @@ from jax.tree_util import register_dataclass
 from kryst_tpu.core.linop import as_operator
 
 
+def chebyshev_apply(matvec, r: Array, emin, emax, degree: int) -> Array:
+    """Chebyshev semi-iteration for A z ≈ r on [emin, emax] (Saad Alg 12.1).
+
+    Shared by :class:`ChebyshevPC` and the per-shard additive-Schwarz local
+    solve (parallel/sharded.py) — one recurrence, two matvec providers.
+    """
+    theta = (emax + emin) / 2.0
+    delta = (emax - emin) / 2.0
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    d = r / theta
+    z = d
+    res = r - matvec(z)
+
+    def body(_, carry):
+        z, res, d, rho = carry
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d_new = rho_new * rho * d + (2.0 * rho_new / delta) * res
+        z_new = z + d_new
+        res_new = res - matvec(d_new)
+        return (z_new, res_new, d_new, rho_new)
+
+    z, _, _, _ = lax.fori_loop(0, degree - 1, body, (z, res, d, rho))
+    return z
+
+
 @dataclasses.dataclass(frozen=True)
 class ChebyshevPC:
     A: object  # any LinearOperator pytree
@@ -36,25 +62,7 @@ class ChebyshevPC:
     degree: int = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, r: Array) -> Array:
-        """Chebyshev semi-iteration for A z ≈ r on [emin, emax] (Saad Alg 12.1)."""
-        theta = (self.emax + self.emin) / 2.0
-        delta = (self.emax - self.emin) / 2.0
-        sigma1 = theta / delta
-        rho = 1.0 / sigma1
-        d = r / theta
-        z = d
-        res = r - self.A.matvec(z)
-
-        def body(_, carry):
-            z, res, d, rho = carry
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            d_new = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            z_new = z + d_new
-            res_new = res - self.A.matvec(d_new)
-            return (z_new, res_new, d_new, rho_new)
-
-        z, _, _, _ = lax.fori_loop(0, self.degree - 1, body, (z, res, d, rho))
-        return z
+        return chebyshev_apply(self.A.matvec, r, self.emin, self.emax, self.degree)
 
     @staticmethod
     def setup(

@@ -79,10 +79,14 @@ class GMGLevel:
         return v - self.p_omega * self.inv_diag * self.A.matvec(v)
 
     def restrict(self, r: Array) -> Array:
-        """P^T r; smoothed: P0^T (I - omega A D^-1) r (A symmetric)."""
+        """P^T r; smoothed: P0^T (I - omega A^T D^-1) r.
+
+        Uses rmatvec so the transfer is the exact transpose of ``prolong``
+        for NONSYMMETRIC A too (Petrov-Galerkin consistency with the
+        host-built RAP); for symmetric A this equals the matvec form."""
         if not self.smoothed:
             return _downsample_sum(r, self.coarse, self.fine)
-        v = r - self.p_omega * self.A.matvec(self.inv_diag * r)
+        v = r - self.p_omega * self.A.rmatvec(self.inv_diag * r)
         return _downsample_sum(v, self.coarse, self.fine)
 
 

@@ -106,6 +106,12 @@ def bicgstab(
 
         it = s.it + 1
         broke = rho_break | sigma_break | (omega_break & ~early)
+        # on breakdown the current step's scalars are garbage (safe_div of a
+        # ~0 denominator): freeze the iterate at the last good x, as the
+        # reference and the NumPy oracle do
+        x_new = jnp.where(broke, s.x, x_new)
+        r_new = jnp.where(broke, s.r, r_new)
+        res = jnp.where(broke, s.res, res)
         reached = res <= threshold
         done = reached | broke | early
         brk = jnp.where(broke, jnp.int32(Breakdown.SCALAR_BREAKDOWN), s.breakdown)

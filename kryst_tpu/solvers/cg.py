@@ -85,6 +85,11 @@ def cg(
     ignores any preconditioner (cg.rs:115); this function has no ``M``
     parameter by design — use :func:`pcg`.
     """
+    if radius is not None and single_reduction:
+        raise ValueError(
+            "trust-region radius is only implemented for the standard "
+            "recurrence; use single_reduction=False"
+        )
     A = as_operator(A)
     b = jnp.asarray(b)
     x = default_x0(b, x0)

@@ -74,8 +74,9 @@ def cgs(
         alpha = safe_div(s.rho, sigma)
         q = s.u - alpha * v
         uq = s.u + q
-        x_new = s.x + alpha * uq
-        r_new = s.r - alpha * A.matvec(uq)
+        # freeze the iterate on sigma breakdown (alpha is garbage)
+        x_new = jnp.where(sigma_break, s.x, s.x + alpha * uq)
+        r_new = jnp.where(sigma_break, s.r, s.r - alpha * A.matvec(uq))
         rho_new = dot(rhat, r_new, axis_name)
         rho_break = jnp.abs(rho_new) < breakdown_tol  # cgs.rs:80-82
         beta = safe_div(rho_new, s.rho)

@@ -48,10 +48,21 @@ class QRFactorization:
 register_dataclass(QRFactorization, data_fields=["q", "r"], meta_fields=[])
 
 
+def _densify(A):
+    if hasattr(A, "todense"):
+        return A.todense()
+    if hasattr(A, "a"):
+        return A.a
+    raise TypeError(
+        f"direct solvers need a materializable matrix; {type(A).__name__} "
+        "has neither .todense() nor a dense array — use an iterative solver "
+        "or provide a Dense/ELL/DIA operator"
+    )
+
+
 def lu_factor(A) -> LUFactorization:
     A = as_operator(A)
-    a = A.todense() if hasattr(A, "todense") else A.a
-    lu, piv = jsl.lu_factor(a)
+    lu, piv = jsl.lu_factor(_densify(A))
     return LUFactorization(lu, piv)
 
 
@@ -77,8 +88,7 @@ def lu_solve(A_or_state, b):
 
 def qr_factor(A) -> QRFactorization:
     A = as_operator(A)
-    a = A.todense() if hasattr(A, "todense") else A.a
-    q, r = jnp.linalg.qr(a, mode="reduced")
+    q, r = jnp.linalg.qr(_densify(A), mode="reduced")
     return QRFactorization(q, r)
 
 

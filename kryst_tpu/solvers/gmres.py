@@ -294,12 +294,11 @@ def gmres(
 
         # true residual at the restart boundary (gmres.rs:387-398)
         r_true = b - A.matvec(x_new)
-        res_true = jnp.sqrt(dot(r_true, r_true, axis_name))
-        res_meas = (
-            jnp.sqrt(dot(apply_M(r_true), apply_M(r_true), axis_name))
-            if side == "left"
-            else res_true
-        )
+        if side == "left":
+            z_true = apply_M(r_true)  # bind once: heavy PCs (AMG/GMG) may not CSE
+            res_meas = jnp.sqrt(dot(z_true, z_true, axis_name))
+        else:
+            res_meas = jnp.sqrt(dot(r_true, r_true, axis_name))
         it = s.it + j_end
         reached = res_meas <= threshold
         brk = jnp.where(zero_pivot, jnp.int32(Breakdown.ZERO_PIVOT), s.breakdown)

@@ -116,15 +116,15 @@ def qmr(
         tg2 = (c.theta * gamma_new) ** 2
         d = eta_new * p + tg2 * c.d
         svec = eta_new * p_tld + tg2 * c.s
-        x_new = c.x + d
+        broke = lanczos_break | delta_break | eps_break | beta_break | gamma_break
+        # freeze the iterate on breakdown — the recurrence scalars are garbage
+        x_new = jnp.where(broke, c.x, c.x + d)
         # true residual each iteration, matching the reference (qmr.rs:147-153)
         r_new = b - A.matvec(x_new)
         res = jnp.sqrt(dot(r_new, r_new, axis_name))
         it = c.it + 1
         reached = res <= threshold
-        broke = (
-            lanczos_break | delta_break | eps_break | beta_break | gamma_break
-        ) & ~reached
+        broke = broke & ~reached
         done = reached | broke
         brk = jnp.where(broke, jnp.int32(Breakdown.SCALAR_BREAKDOWN), c.breakdown)
         hist_new = push_history(c.hist, it, res)

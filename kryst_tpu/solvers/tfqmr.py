@@ -110,6 +110,10 @@ def tfqmr(
         first_hit = dp1 <= threshold
         x_new = jnp.where(first_hit, x1, x2)
         res = jnp.where(first_hit, dp1, dp2)
+        # freeze the iterate on sigma breakdown (alpha and both substeps are
+        # garbage when |sigma| ~ 0)
+        x_new = jnp.where(sigma_break, c.x, x_new)
+        res = jnp.where(sigma_break, c.res, res)
 
         rho_new = dot(rstar, w, axis_name)
         rho_break = jnp.abs(rho_new) < breakdown_tol

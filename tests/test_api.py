@@ -12,17 +12,24 @@ from kryst_tpu.solvers.pipelined import pipecg
 
 
 def test_solve_dispatch_all_iterative_kinds():
-    # the solver x pc compatibility sweep through the factory
+    # the solver x pc compatibility sweep through the factory;
+    # pc-less solvers (reference parity: they ignore/lack pc) run bare
     a = gallery.poisson_2d(8)
     b = jnp.ones(64)
     expected = np.linalg.solve(a.todense(), np.ones(64))
-    for kind in (
-        SolverKind.CG, SolverKind.PCG, SolverKind.GMRES_LEFT,
-        SolverKind.GMRES_RIGHT, SolverKind.FGMRES, SolverKind.BICGSTAB,
-        SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR, SolverKind.MINRES,
-        SolverKind.CGNR, SolverKind.PIPECG,
-    ):
+    pc_capable = (
+        SolverKind.PCG, SolverKind.GMRES_LEFT, SolverKind.GMRES_RIGHT,
+        SolverKind.FGMRES, SolverKind.BICGSTAB, SolverKind.PIPECG,
+    )
+    pc_less = (
+        SolverKind.CG, SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR,
+        SolverKind.MINRES, SolverKind.CGNR,
+    )
+    for kind in pc_capable:
         x, stats = solve(a, b, solver=kind, pc="jacobi", tol=1e-9, maxiter=400)
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-4, err_msg=str(kind))
+    for kind in pc_less:
+        x, stats = solve(a, b, solver=kind, tol=1e-9, maxiter=400)
         np.testing.assert_allclose(np.asarray(x), expected, atol=1e-4, err_msg=str(kind))
 
 
