@@ -168,8 +168,52 @@ class AMGLevel:
     R: ELLOperator  # restriction = P^T (n_coarse, n_fine)
     inv_diag: Array
 
+    def prolong(self, xc: Array) -> Array:
+        return self.P.matvec(xc)
+
+    def restrict(self, r: Array) -> Array:
+        return self.R.matvec(r)
+
 
 register_dataclass(AMGLevel, data_fields=["A", "P", "R", "inv_diag"], meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGFastLevel:
+    """TPU fast-path level: DIA operator (when the aggregated matrix stays
+    diagonal-sparse) + *functional* smoothed-aggregation transfers.
+
+    The explicit ELL P/R matvecs are n*k-element gathers — the measured
+    ~2 GB/s TPU cliff. But with row normalization off (the default), the
+    smoothed prolongation factors exactly:
+
+        P xc = (I - omega D^-1 A) P0 xc,     P0 xc = xc[agg]   (one gather)
+        P^T r = P0^T (I - omega A^T D^-1) r, P0^T v = scatter-add by agg
+
+    so each transfer costs one n-element gather/scatter plus one (DIA,
+    gather-free) matvec instead of an n*k-element gather.
+    """
+
+    A: object  # DIAOperator (preferred) or ELLOperator fallback
+    inv_diag: Array
+    agg: Array  # (n_fine,) int32 aggregate index
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    p_omega: float = dataclasses.field(metadata=dict(static=True))
+
+    def prolong(self, xc: Array) -> Array:
+        t = xc[self.agg]
+        return t - self.p_omega * self.inv_diag * self.A.matvec(t)
+
+    def restrict(self, r: Array) -> Array:
+        v = r - self.p_omega * self.A.rmatvec(self.inv_diag * r)
+        return jnp.zeros(self.nc, dtype=r.dtype).at[self.agg].add(v)
+
+
+register_dataclass(
+    AMGFastLevel,
+    data_fields=["A", "inv_diag", "agg"],
+    meta_fields=["nc", "p_omega"],
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -196,9 +240,9 @@ class AMGPC:
         lvl = self.levels[l]
         z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre)
         resid = r - lvl.A.matvec(z)  # amg.rs:213-224
-        rc = lvl.R.matvec(resid)  # amg.rs:226-227
+        rc = lvl.restrict(resid)  # amg.rs:226-227
         zc = self._vcycle(l + 1, rc)  # amg.rs:229-234
-        z = z + lvl.P.matvec(zc)  # amg.rs:236-247
+        z = z + lvl.prolong(zc)  # amg.rs:236-247
         return self._smooth(lvl, z, r, self.nu_post)
 
     def apply(self, r: Array) -> Array:
@@ -216,10 +260,19 @@ class AMGPC:
         smooth_omega: float = 2.0 / 3.0,
         p_omega: float = 2.0 / 3.0,
         row_normalize: bool = False,
+        fast_transfers: bool = True,
+        max_dia_offsets: int = 512,
         dtype=None,
     ) -> "AMGPC":
+        """``fast_transfers``: store levels as :class:`AMGFastLevel`
+        (functional agg-based transfers + DIA operators when the level's
+        diagonal structure allows) — the TPU fast path. Requires
+        ``row_normalize=False`` (the explicit-P scaling does not factor);
+        automatically disabled otherwise. RAP always uses the explicit P,
+        so the hierarchy is identical either way."""
         dtype = dtype or a.data.dtype
         A = _to_scipy(a)
+        use_fast = fast_transfers and not row_normalize
         levels: List[AMGLevel] = []
         for _ in range(max_levels):
             if A.shape[0] <= coarse_size:
@@ -233,14 +286,40 @@ class AMGPC:
             R = P.T.tocsr()
             d = np.asarray(A.diagonal())
             inv_d = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
-            levels.append(
-                AMGLevel(
-                    A=_scipy_to_ell(A, dtype),
-                    P=_scipy_to_ell(P, dtype),
-                    R=_scipy_to_ell(R, dtype),
-                    inv_diag=jnp.asarray(inv_d.astype(dtype)),
+            A_dia = None
+            if use_fast:
+                from kryst_tpu.ops.dia import scipy_to_dia
+
+                # DIA stores ndiag * n entries: cap the dense-plane budget
+                # (~256 MB f32) as well as the raw offset count
+                budget = max(32, 64_000_000 // max(A.shape[0], 1))
+                try:
+                    A_dia = scipy_to_dia(
+                        A, max_offsets=min(max_dia_offsets, budget), dtype=dtype
+                    )
+                except ValueError:
+                    A_dia = None  # not diagonal-sparse: fast path would be
+                    # a pessimization (functional transfers add A matvecs
+                    # that would run on the slow ELL gather path)
+            if A_dia is not None:
+                levels.append(
+                    AMGFastLevel(
+                        A=A_dia,
+                        inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                        agg=jnp.asarray(agg.astype(np.int32)),
+                        nc=nc,
+                        p_omega=p_omega,
+                    )
                 )
-            )
+            else:
+                levels.append(
+                    AMGLevel(
+                        A=_scipy_to_ell(A, dtype),
+                        P=_scipy_to_ell(P, dtype),
+                        R=_scipy_to_ell(R, dtype),
+                        inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                    )
+                )
             A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
         coarse_inv = np.linalg.inv(A.toarray())  # host, f64
         return AMGPC(

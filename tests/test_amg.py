@@ -14,12 +14,28 @@ def test_amg_hierarchy_shapes():
     assert len(pc.levels) >= 2
     n_prev = 576
     for lvl in pc.levels:
-        nf, nc = lvl.P.shape
+        if hasattr(lvl, "P"):  # explicit ELL transfers
+            nf, nc = lvl.P.shape
+            assert lvl.R.shape == (nc, nf)
+        else:  # AMGFastLevel: functional transfers
+            nf = lvl.agg.shape[0]
+            nc = lvl.nc
         assert nf == n_prev
         assert nc < nf  # genuine coarsening
-        assert lvl.R.shape == (nc, nf)
         n_prev = nc
     assert pc.coarse_inv.shape[0] == n_prev
+
+
+def test_amg_fast_matches_explicit_transfers():
+    a = gallery.poisson_2d(24)
+    import numpy as _np
+
+    pc_f = AMGPC.setup(a, fast_transfers=True)
+    pc_e = AMGPC.setup(a, fast_transfers=False)
+    r = jnp.asarray(_np.random.default_rng(0).standard_normal(576))
+    z_f = _np.asarray(pc_f.apply(r))
+    z_e = _np.asarray(pc_e.apply(r))
+    _np.testing.assert_allclose(z_f, z_e, rtol=1e-12, atol=1e-14)
 
 
 def test_amg_vcycle_contraction_rate():
