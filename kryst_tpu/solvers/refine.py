@@ -44,10 +44,13 @@ def iterative_refinement(
     """
     import scipy.sparse as sp
 
-    As = sp.csr_matrix(
-        (a_host.data.astype(np.float64), a_host.indices, a_host.indptr),
-        shape=a_host.shape,
-    )
+    if sp.issparse(a_host):  # prebuilt f64 matrix: skips ~0.2 s/call at 7M nnz
+        As = a_host.tocsr()
+    else:
+        As = sp.csr_matrix(
+            (a_host.data.astype(np.float64), a_host.indices, a_host.indptr),
+            shape=a_host.shape,
+        )
     b = np.asarray(b, dtype=np.float64)
     bnorm = np.linalg.norm(b)
     if bnorm == 0:
