@@ -72,6 +72,14 @@ def pipecg(
     stabilization): every k iterations the recurred vectors r/u/w/s/q/z are
     recomputed from x and p directly, resetting the O(sqrt(eps)) drift the
     extra recurrences accumulate — essential in f32. 0 disables.
+
+    In f32, once the residual stagnates at its attainable-accuracy floor
+    (~eps*kappa, worse for pipelined than plain CG), the denominator
+    recurrence loses all significance and the solve stops with
+    ``breakdown = INDEFINITE_MATRIX`` rather than spinning; the reported
+    ``final_residual`` is the TRUE residual (recomputed), so stats stay
+    honest. For rtol below the f32 floor use
+    :func:`kryst_tpu.solvers.refine.refined_solve`.
     """
     A = as_operator(A)
     b = jnp.asarray(b)
@@ -107,19 +115,28 @@ def pipecg(
         m = apply_M(c.w)
         nvec = A.matvec(m)
 
+        res = jnp.sqrt(jnp.maximum(rr, 0.0))
+        # note: rr is <r,r> of the *incoming* r; the freshest residual norm
+        # lags one iteration — the standard pipelined-CG trade
+        reached = res <= threshold
+
         first = c.it == 0
         beta = jnp.where(first, 0.0, safe_div(gamma, c.gamma))
         denom = delta - beta * safe_div(gamma, c.alpha)
         alpha = jnp.where(
             first, safe_div(gamma, delta), safe_div(gamma, denom)
         )
-        indefinite = jnp.where(first, delta <= 0, denom <= 0)
+        # denom <= 0 near convergence is f32 cancellation (gamma -> 0), not
+        # a genuinely indefinite operator: only flag breakdown when the
+        # residual is still above tolerance
+        indefinite = jnp.where(first, delta <= 0, denom <= 0) & ~reached
 
         p = c.u + beta * c.p
         s = c.w + beta * c.s
         q = m + beta * c.q
         z = nvec + beta * c.z
-        x_new = c.x + alpha * p
+        # freeze the iterate on breakdown (alpha is garbage then)
+        x_new = jnp.where(indefinite, c.x, c.x + alpha * p)
         r_new = c.r - alpha * s
         u_new = c.u - alpha * q
         w_new = c.w - alpha * z
@@ -146,10 +163,6 @@ def pipecg(
                 do_replace, replaced, kept, (x_new, p)
             )
 
-        res = jnp.sqrt(jnp.maximum(rr, 0.0))
-        # note: rr is <r,r> of the *incoming* r; the freshest residual norm
-        # lags one iteration — the standard pipelined-CG trade
-        reached = res <= threshold
         done = reached | indefinite
         brk = jnp.where(
             indefinite, jnp.int32(Breakdown.INDEFINITE_MATRIX), c.breakdown
