@@ -323,17 +323,24 @@ def solve(
         try:
             from kryst_tpu.ops.dia import csr_to_dia
 
-            A = csr_to_dia(A)
+            # DIA stores ndiag * n entries: cap the dense-plane budget
+            # (~256 MB f32) as well as the raw offset count, mirroring
+            # AMGPC.setup — a 1M-row matrix with ~400 scattered diagonals
+            # would otherwise allocate GBs of mostly-zero planes
+            budget = max(32, 64_000_000 // max(A.shape[0], 1))
+            A = csr_to_dia(A, max_offsets=min(512, budget))
         except ValueError:
             A = A.to_ell()
     A = as_operator(A)
     b = jnp.asarray(b)
     dtype = b.dtype
 
-    # solvers that take no preconditioner: CG's silence is the documented
-    # reference quirk (cg.rs:115); for the rest a supplied pc would be
-    # silently dropped (and its setup wasted), so refuse loudly
+    # solvers that take no preconditioner: a supplied pc would be silently
+    # dropped (and its setup wasted), so refuse loudly. The reference's
+    # CG-ignores-pc quirk (cg.rs:115) lives in cg() itself; the factory
+    # refuses consistently and points CG users at pcg.
     _no_pc = {
+        SolverKind.CG,
         SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR, SolverKind.MINRES,
         SolverKind.CGNR, SolverKind.CGNE, SolverKind.LU, SolverKind.QR,
     }
@@ -347,7 +354,7 @@ def solve(
             "use pcg/gmres/fgmres/bicgstab/pipecg/ca_gmres, or pc=None"
         )
     M = None
-    if kind not in _no_pc and kind != SolverKind.CG:
+    if kind not in _no_pc:
         M = _resolve_pc(pc, a_host, A, dtype)
     mi = maxiter if maxiter is not None else max(b.shape[0], 100)
 

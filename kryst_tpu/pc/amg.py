@@ -321,6 +321,16 @@ class AMGPC:
                     )
                 )
             A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
+        if A.shape[0] > max(coarse_size * 8, 4096):
+            # coarsening stalled (e.g. strongly diagonally dominant matrix
+            # where every connection falls below theta): a dense inverse of
+            # the remaining matrix would OOM/hang, so fail loudly instead
+            raise ValueError(
+                f"AMG coarsening stalled at n={A.shape[0]} "
+                f"(target coarse_size={coarse_size}); the matrix may be too "
+                "diagonally dominant for theta-strength aggregation — lower "
+                "theta, or use a single-level PC (jacobi/chebyshev/ilu0)"
+            )
         coarse_inv = np.linalg.inv(A.toarray())  # host, f64
         return AMGPC(
             levels=tuple(levels),

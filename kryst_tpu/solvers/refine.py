@@ -44,8 +44,10 @@ def iterative_refinement(
     """
     import scipy.sparse as sp
 
-    if sp.issparse(a_host):  # prebuilt f64 matrix: skips ~0.2 s/call at 7M nnz
-        As = a_host.tocsr()
+    if sp.issparse(a_host):  # prebuilt matrix: skips ~0.2 s/call at 7M nnz
+        # cast: an f32 matrix here would silently floor the outer residual
+        # at f32 eps and spin refinement to max_outer
+        As = a_host.tocsr().astype(np.float64)
     else:
         As = sp.csr_matrix(
             (a_host.data.astype(np.float64), a_host.indices, a_host.indptr),

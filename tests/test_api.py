@@ -57,6 +57,20 @@ def test_solve_unknown_pc_raises():
         solve(a, jnp.ones(16), solver="pcg", pc="nope")
 
 
+def test_solve_pc_less_solver_rejects_pc():
+    # the factory refuses to silently drop a supplied pc — including for CG
+    # (the reference quirk lives in cg() itself, not the factory)
+    a = gallery.poisson_2d(4)
+    for kind in (SolverKind.CG, SolverKind.MINRES, SolverKind.TFQMR):
+        with pytest.raises(ValueError, match="does not accept a preconditioner"):
+            solve(a, jnp.ones(16), solver=kind, pc="jacobi")
+    # pc="none" / PCConfig.none() stay allowed
+    x, _ = solve(a, jnp.ones(16), solver=SolverKind.CG, pc="none", tol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(16)), atol=1e-8
+    )
+
+
 def test_pcconfig_builders():
     a = gallery.poisson_2d(8)
     b = jnp.ones(64)
