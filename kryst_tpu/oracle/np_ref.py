@@ -16,9 +16,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def _as_op(A):
+    """Dense ndarray or scipy.sparse matrix -> f64 operator with @."""
+    if hasattr(A, "tocsr") and not isinstance(A, np.ndarray):
+        return A.tocsr().astype(np.float64)
+    return np.asarray(A, dtype=np.float64)
+
+
+
 def np_cg(A, b, x0=None, tol=1e-8, maxiter=1000):
     """Textbook CG (Saad §6.1), the reference CgSolver loop (cg.rs:141-285)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -49,7 +57,7 @@ def np_cg(A, b, x0=None, tol=1e-8, maxiter=1000):
 
 def np_pcg(A, b, Minv, x0=None, tol=1e-8, maxiter=1000):
     """Preconditioned CG (Saad §9.2; pcg.rs:114-222). ``Minv``: callable r -> z."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -86,7 +94,7 @@ def np_gmres(A, b, x0=None, tol=1e-8, maxiter=1000, restart=30, Minv=None, side=
     """Restarted GMRES with MGS + unconditional second orthogonalization
     pass and Givens rotations — the reference GmresSolver structure
     (gmres.rs:216-402)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     n = len(b)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
@@ -171,7 +179,7 @@ def np_gmres(A, b, x0=None, tol=1e-8, maxiter=1000, restart=30, Minv=None, side=
 
 def np_bicgstab(A, b, x0=None, tol=1e-8, maxiter=1000):
     """BiCGStab (Saad §7.1; bicgstab.rs)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -217,7 +225,7 @@ def np_bicgstab(A, b, x0=None, tol=1e-8, maxiter=1000):
 
 def np_cgs(A, b, x0=None, tol=1e-8, maxiter=1000):
     """CGS (Saad §7.2; cgs.rs u/p/q recurrences)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -255,7 +263,7 @@ def np_cgs(A, b, x0=None, tol=1e-8, maxiter=1000):
 
 def np_cgnr(A, b, x0=None, tol=1e-8, maxiter=1000):
     """CG on the normal equations A^T A x = A^T b, converging on ||A^T r||."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros(A.shape[1]) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -289,7 +297,7 @@ def np_cgnr(A, b, x0=None, tol=1e-8, maxiter=1000):
 def np_qmr(A, b, x0=None, tol=1e-8, maxiter=1000):
     """QMR (Templates formulation; qmr.rs), convergence on the true
     residual recomputed each iteration (qmr.rs:147-153)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -345,7 +353,7 @@ def np_qmr(A, b, x0=None, tol=1e-8, maxiter=1000):
 def np_tfqmr(A, b, x0=None, tol=1e-8, maxiter=1000):
     """TFQMR with the two-substep inner loop and dpest = sqrt(2k+m+2)*tau
     (tfqmr.rs:157-198,186)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
@@ -398,7 +406,7 @@ def np_tfqmr(A, b, x0=None, tol=1e-8, maxiter=1000):
 
 def np_minres(A, b, x0=None, tol=1e-8, maxiter=1000):
     """MINRES (Paige-Saunders; minres.rs structure)."""
-    A = np.asarray(A, dtype=np.float64)
+    A = _as_op(A)
     b = np.asarray(b, dtype=np.float64)
     x = np.zeros_like(b) if x0 is None else np.array(x0, dtype=np.float64)
     r = b - A @ x
