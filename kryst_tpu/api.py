@@ -82,8 +82,14 @@ class PCConfig:
         return cls("jacobi")
 
     @classmethod
-    def ssor(cls, omega: float = 1.0, its: int = 1):
-        return cls("ssor", (("omega", omega), ("its", its)))
+    def ssor(cls, omega: float = 1.0, its: int = 1, eisenstat: bool = False):
+        """``eisenstat``: use Eisenstat's trick (sor.rs:42's EISENSTAT flag,
+        unimplemented in the reference) — only valid with solver='pcg',
+        where the solve is dispatched to :func:`kryst_tpu.pc.sor.eisenstat_cg`
+        (same convergence, no A-matvec per iteration)."""
+        return cls(
+            "ssor", (("omega", omega), ("its", its), ("eisenstat", eisenstat))
+        )
 
     @classmethod
     def sor(cls, omega: float = 1.0, its: int = 1):
@@ -160,6 +166,12 @@ class PCConfig:
         if kind in ("ssor", "sor"):
             from kryst_tpu.pc.sor import SORPC, SweepType
 
+            if kw.get("eisenstat"):
+                raise ValueError(
+                    "PCConfig.ssor(eisenstat=True) is only dispatched by "
+                    "solve(solver='pcg', ...); it is not a standalone PC "
+                    "apply — or call kryst_tpu.pc.sor.eisenstat_cg directly"
+                )
             sweep = SweepType.SYMMETRIC if kind == "ssor" else SweepType.FORWARD
             return SORPC.setup(
                 a_host, omega=kw.get("omega", 1.0), its=kw.get("its", 1),
@@ -353,10 +365,32 @@ def solve(
             f"solver {kind.value!r} does not accept a preconditioner; "
             "use pcg/gmres/fgmres/bicgstab/pipecg/ca_gmres, or pc=None"
         )
+    mi = maxiter if maxiter is not None else max(b.shape[0], 100)
+
+    # Eisenstat-trick SSOR restructures the PCG iteration itself
+    # (pc/sor.py::eisenstat_cg), so it is dispatched here, not built as a PC
+    if (
+        kind == SolverKind.PCG
+        and isinstance(pc, PCConfig)
+        and pc.kind == "ssor"
+        and dict(pc.params).get("eisenstat")
+    ):
+        if a_host is None:
+            raise ValueError(
+                "ssor(eisenstat=True) needs the host CSR: pass A as a "
+                "CSRMatrix or supply a_host="
+            )
+        from kryst_tpu.pc.sor import eisenstat_cg
+
+        return eisenstat_cg(
+            a_host, b, x0,
+            omega=dict(pc.params).get("omega", 1.0),
+            dtype=dtype, tol=tol, maxiter=mi, **options,
+        )
+
     M = None
     if kind not in _no_pc:
         M = _resolve_pc(pc, a_host, A, dtype)
-    mi = maxiter if maxiter is not None else max(b.shape[0], 100)
 
     if kind == SolverKind.CG:
         return cg(A, b, x0, tol=tol, maxiter=mi, **options)

@@ -48,12 +48,12 @@ class ShardedGMGLevel:
         return v - self.p_omega * self.inv_diag * self.A.matvec(v)
 
     def restrict(self, r: Array) -> Array:
-        # NOTE: uses matvec, i.e. requires A symmetric (checked at
-        # distribute_gmg time) — HaloDIAOperator has no halo rmatvec yet,
-        # so the nonsymmetric Petrov-Galerkin transfer is single-device only
+        """P^T r; smoothed: P0^T (I - omega A^T D^-1) r — the exact
+        transpose of ``prolong`` for NONSYMMETRIC A too (Petrov-Galerkin
+        consistency, mirroring the single-device fix in pc/gmg.py)."""
         if not self.smoothed:
             return _downsample_sum(r, self.coarse_local, self.fine_local)
-        v = r - self.p_omega * self.A.matvec(self.inv_diag * r)
+        v = r - self.p_omega * self.A.rmatvec(self.inv_diag * r)
         return _downsample_sum(v, self.coarse_local, self.fine_local)
 
 
@@ -151,25 +151,6 @@ def distribute_gmg(pc: GMGPC, mesh: Mesh, axis: str = AXIS) -> ShardedGMGPC:
                 "choose grid dims = n_shards * 2^levels * k"
             )
         n = l.A.n
-        # smoothed restrict uses matvec in place of rmatvec (no halo rmatvec
-        # yet) — only valid for symmetric levels; verify on host
-        if l.smoothed:
-            data = np.asarray(l.A.data)
-            for k, off in enumerate(l.A.offsets):
-                if off <= 0:
-                    continue
-                try:
-                    kneg = l.A.offsets.index(-off)
-                except ValueError:
-                    raise NotImplementedError(
-                        "sharded GMG requires symmetric level operators"
-                    )
-                if not np.allclose(data[k, : n - off], data[kneg, off:], rtol=1e-5):
-                    raise NotImplementedError(
-                        "sharded GMG requires symmetric level operators "
-                        "(nonsymmetric Petrov-Galerkin transfers are "
-                        "single-device only for now)"
-                    )
         halo = max(max(abs(o) for o in l.A.offsets), 1)
         if halo > n // nd or c0 % nd:
             # agglomeration: once a level's stencil halo no longer fits the

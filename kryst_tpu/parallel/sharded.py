@@ -56,26 +56,52 @@ class HaloDIAOperator:
     def dtype(self):
         return self.data.dtype
 
-    def matvec(self, x: Array) -> Array:
+    def _extend(self, x: Array) -> Array:
+        """Halo-extend a local vector: neighbor edges arrive via a ppermute
+        pair over ICI; global boundary halos are zeros (non-circular
+        ppermute), matching the zero coefficients DIA stores out of range.
+        (parallel_mat_vec done properly — cf. mpi_comm.rs:133-144's TODO.)"""
         h = self.halo
-        n_local = x.shape[0]
+        n_local = x.shape[-1]
         size = self.n_shards
-        # neighbor halo exchange over ICI: send my right edge rightward and
-        # my left edge leftward (parallel_mat_vec done properly —
-        # cf. mpi_comm.rs:133-144's TODO)
-        right_edge = x[n_local - h :]
-        left_edge = x[:h]
+        right_edge = x[..., n_local - h :]
+        left_edge = x[..., :h]
         from_left = lax.ppermute(
             right_edge, self.axis_name, [(i, i + 1) for i in range(size - 1)]
         )
         from_right = lax.ppermute(
             left_edge, self.axis_name, [(i + 1, i) for i in range(size - 1)]
         )
-        xext = jnp.concatenate([from_left, x, from_right])
+        return jnp.concatenate([from_left, x, from_right], axis=-1)
+
+    def matvec(self, x: Array) -> Array:
+        h = self.halo
+        n_local = x.shape[0]
+        xext = self._extend(x)
         acc = jnp.zeros_like(x)
         for k, off in enumerate(self.offsets):
             acc = acc + self.data[k] * lax.dynamic_slice(
                 xext, (h + off,), (n_local,)
+            )
+        return acc
+
+    def rmatvec(self, x: Array) -> Array:
+        """A^T x with the mirror-image halo pattern.
+
+        Row-major DIA stores A[j, j+off] = data[k, j], so
+        (A^T x)_i = sum_k data[k, i-off_k] * x[i-off_k]: form the halo-
+        EXTENDED elementwise products data_ext * x_ext once, then read them
+        back with shift -off. The data-plane edges ride the same ppermute
+        pair as the vector edges (one extra small (ndiag, halo) transfer)."""
+        h = self.halo
+        n_local = x.shape[0]
+        xext = self._extend(x)
+        dext = self._extend(self.data)
+        prod = dext * xext[None, :]
+        acc = jnp.zeros_like(x)
+        for k, off in enumerate(self.offsets):
+            acc = acc + lax.dynamic_slice(
+                prod[k], (h - off,), (n_local,)
             )
         return acc
 

@@ -173,3 +173,19 @@ def test_ca_gmres_matches_gmres_iterspace():
     assert bool(s2.reached_tol)
     # monomial basis costs extra cycles vs Arnoldi, but bounded
     assert int(s2.iterations) <= 3 * int(s1.iterations) + 16
+
+
+def test_solve_eisenstat_dispatch():
+    # PCG + ssor(eisenstat=True) routes through eisenstat_cg
+    a = gallery.poisson_2d(12)
+    b = jnp.ones(144)
+    expected = np.linalg.solve(a.todense(), np.ones(144))
+    x, st = solve(
+        a, b, solver="pcg", pc=PCConfig.ssor(omega=1.3, eisenstat=True),
+        tol=1e-10, maxiter=400,
+    )
+    assert bool(st.reached_tol)
+    np.testing.assert_allclose(np.asarray(x), expected, atol=1e-7)
+    # as a plain PC apply it must refuse (the trick is not an apply)
+    with pytest.raises(ValueError, match="eisenstat"):
+        solve(a, b, solver="gmres_left", pc=PCConfig.ssor(eisenstat=True))

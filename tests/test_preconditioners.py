@@ -366,3 +366,82 @@ def test_spai_poisson_acceleration():
     np.testing.assert_allclose(
         np.asarray(x), np.linalg.solve(a.todense(), np.ones(144)), atol=1e-5
     )
+
+
+def test_eisenstat_cg_matches_ssor_pcg():
+    # Eisenstat's trick (sor.rs:42, unimplemented there): CG on the
+    # transformed system must converge like SSOR-PCG and give the same x
+    from kryst_tpu import pcg
+    from kryst_tpu.pc.sor import eisenstat_cg, ssor
+
+    a = gallery.poisson_2d(24)
+    n = a.shape[0]
+    b = jnp.ones(n)
+    expected = np.linalg.solve(np.asarray(a.todense()), np.ones(n))
+    for omega in (1.0, 1.4):
+        M = ssor(a, omega=omega, its=1)
+        x1, s1 = pcg(a.to_ell(), b, M=M, tol=1e-10, maxiter=500)
+        x2, s2 = eisenstat_cg(a, b, omega=omega, tol=1e-10, maxiter=500)
+        assert bool(s2.reached_tol)
+        np.testing.assert_allclose(np.asarray(x2), expected, atol=1e-7)
+        assert abs(int(s1.iterations) - int(s2.iterations)) <= 3, (
+            omega, int(s1.iterations), int(s2.iterations)
+        )
+
+
+def test_eisenstat_operator_identity():
+    # the matvec-free A-hat equals the explicitly assembled
+    # S (Dh+L)^-1 A (Dh+U)^-1 S
+    from kryst_tpu.pc.sor import EisenstatSSOR
+
+    a = gallery.convection_diffusion_2d(6)  # positive diagonal, nonsymmetric
+    n = a.shape[0]
+    Ad = np.asarray(a.todense(), dtype=np.float64)
+    omega = 1.2
+    d = np.diag(Ad)
+    dh = d / omega
+    L = np.tril(Ad, -1) + np.diag(dh)
+    U = np.triu(Ad, 1) + np.diag(dh)
+    S = np.diag(np.sqrt(dh))
+    Ahat = S @ np.linalg.solve(L, Ad @ np.linalg.solve(U, S))
+    E = EisenstatSSOR.setup(a, omega=omega)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(E.matvec(jnp.asarray(v))), Ahat @ v, rtol=1e-10)
+
+
+def test_eisenstat_rejects_nonpositive_diagonal():
+    import pytest as _pytest
+
+    from kryst_tpu.matrix.csr import CSRMatrix
+    from kryst_tpu.pc.sor import EisenstatSSOR
+
+    A = np.array([[0.0, 1.0], [1.0, 2.0]])
+    with _pytest.raises(ValueError, match="positive diagonal"):
+        EisenstatSSOR.setup(CSRMatrix.from_dense(A))
+
+
+def test_sor_zero_initial_guess_flag_equivalence():
+    # ZERO_INITIAL_GUESS skips provably-zero work; the apply is identical
+    from kryst_tpu.pc.sor import SORPC, SweepType
+
+    a = gallery.convection_diffusion_2d(8)
+    r = jnp.asarray(np.random.default_rng(1).standard_normal(64))
+    for base in (SweepType.SYMMETRIC, SweepType.FORWARD, SweepType.BACKWARD):
+        plain = SORPC.setup(a, omega=1.3, its=2, sweep=base)
+        fast = SORPC.setup(
+            a, omega=1.3, its=2, sweep=base | SweepType.ZERO_INITIAL_GUESS
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.apply(r)), np.asarray(fast.apply(r)), rtol=1e-12
+        )
+
+
+def test_sor_eisenstat_flag_points_to_driver():
+    import pytest as _pytest
+
+    from kryst_tpu.pc.sor import SORPC, SweepType
+
+    a = gallery.poisson_2d(4)
+    with _pytest.raises(ValueError, match="eisenstat_cg"):
+        SORPC.setup(a, sweep=SweepType.SYMMETRIC | SweepType.EISENSTAT)
