@@ -2,27 +2,42 @@
 
 TPU-native redesign of the reference PcaGmresSolver (src/solver/
 pca_gmres.rs; Hoemmen 2010, Ghysels–Vanroose 2014, cited at
-pca_gmres.rs:18-20). The reference generates s Krylov vectors per block
-and orthogonalizes them with a single overlapped reduction
-(pca_gmres.rs:136-229). Here each restart cycle is fully
-communication-avoiding:
+pca_gmres.rs:18-20), with the reference's full parameter surface
+(pca_gmres.rs:37-50): restart length ``m``, s-step block size ``s``
+(``block``), and drop tolerance ``tau``. Each restart cycle accumulates
+``t = m/s`` blocks toward an m-dimensional Krylov space
+(pca_gmres.rs:136-274 loops ``while j < m`` over blocks of s):
 
-1. generate the s+1-vector monomial Krylov basis K = [r, Op r, ..., Op^s r]
-   with s back-to-back matvecs — ZERO reductions (pca_gmres.rs:141-159);
-2. orthonormalize K by CholeskyQR2: the Gram matrix G = K^T K is ONE
-   matmul panel = ONE fused reduction (= one psum on a mesh) per pass —
-   the TPU form of the reference's flat local_dot buffer + single
-   all-reduce (pca_gmres.rs:172-211);
-3. exploit the shift identity  Op K_s = K_{s+1} B  (B the (s+1,s) shift
-   matrix) to reduce the projected least-squares problem to the tiny
-   (s+1)xs system  min_y || R e_1 ||r|| - R B y ||, solved on device;
-4. update x += K_s y (right preconditioning applies M^-1 once), recompute
-   the true residual, restart.
+1. block j generates s monomial Krylov vectors from the latest
+   orthonormal vector — s back-to-back matvecs, ZERO reductions
+   (pca_gmres.rs:141-159);
+2. the block is orthogonalized against the running basis by BCGS2
+   (two panel matmuls = two fused reductions) and orthonormalized by
+   CholeskyQR2 (two more) — the TPU form of the reference's flat
+   local_dot buffer + single all-reduce (pca_gmres.rs:172-211), four
+   psums per s matvecs instead of GMRES's ~2 per matvec;
+3. the generated vectors' coordinates over the orthonormal basis are
+   recorded, so after t blocks the projected least-squares problem
+   ``min_y ||beta e0 - y @ AZc||`` is a tiny (m, m+1) solve on device
+   (``AZc`` holds the coordinates of A·Z, exact by the shift identity
+   Op K_i = K_{i+1});
+4. ``x += y @ Z`` (right preconditioning applies M^-1 once), true
+   residual recomputed, restart.
 
-The monomial basis conditions like kappa(A)^s, so ``s`` (the ``restart``)
-should stay modest (6-16); this is the documented trade of all s-step
-methods (Hoemmen §3). Each cycle costs s matvecs + 2 Gram reductions —
-a ~s-fold reduction-count saving over standard GMRES(s).
+``tau`` maps the reference's drop tolerance (pca_gmres.rs:46-50) onto
+the LS solve: singular directions below ``tau`` (relative) are dropped
+(``lstsq rcond``), which is what keeps a partially collapsed monomial
+basis from polluting the update.
+
+The reference's ``pipeline_depth`` (ell) schedules matvecs against
+in-flight reductions by hand; under XLA the matvec chain of block j+1
+carries no data dependency on block j's Gram psums until the BCGS2
+subtraction, so the latency-hiding scheduler overlaps them — ell is a
+compiler decision here, not a knob (documented capability mapping).
+
+The monomial basis conditions like kappa(A)^s per BLOCK (not per
+restart), so ``block`` stays modest (4-12) while ``restart`` can match
+standard GMRES (30+) — Hoemmen §3's point.
 """
 from __future__ import annotations
 
@@ -47,10 +62,11 @@ class _Carry(NamedTuple):
 
 
 def _cholqr2(K: Array, axis_name: Optional[str]):
-    """CholeskyQR2: returns (Q, R) with one Gram reduction per pass."""
+    """CholeskyQR2: returns (Q, L) with K (rows) = L @ Q; one Gram
+    reduction (psum) per pass."""
 
     def _pass(K):
-        G = K @ K.T  # (s+1, s+1) panel — the single fused reduction
+        G = K @ K.T  # (s, s) panel — the single fused reduction
         if axis_name is not None:
             G = lax.psum(G, axis_name)
         # jitter for semi-definite Gram matrices (monomial bases collapse)
@@ -58,15 +74,11 @@ def _cholqr2(K: Array, axis_name: Optional[str]):
         G = G + (eps * jnp.trace(G)) * jnp.eye(G.shape[0], dtype=K.dtype)
         L = jnp.linalg.cholesky(G)
         Q = jax.scipy.linalg.solve_triangular(L, K, lower=True)
-        return Q, L.T  # K = Q^T? rows: K (s+1, n): K = L Q -> R = L^T ...
+        return Q, L
 
-    Q1, R1t = _pass(K)
-    Q2, R2t = _pass(Q1)
-    # K^T = Q^T R with R = (R2t? ...): K = L1 Q1, Q1 = L2 Q2 ->
-    # K = L1 L2 Q2 -> R = (L1 L2)^T as upper? we return row-basis Q2 and
-    # the combined lower-triangular factor L = L1 @ L2 so K = L Q2.
-    L = R1t.T @ R2t.T
-    return Q2, L  # K (rows) = L @ Q2
+    Q1, L1 = _pass(K)
+    Q2, L2 = _pass(Q1)
+    return Q2, L1 @ L2  # K = (L1 L2) Q2
 
 
 def ca_gmres(
@@ -79,16 +91,30 @@ def ca_gmres(
     tol: float = 1e-8,
     atol: float = 0.0,
     maxiter: int = 1000,
-    restart: int = 8,
+    restart: int = 30,
+    block: Optional[int] = None,
+    tau: Optional[float] = None,
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
-    """Returns ``(x, SolveStats)``. ``restart`` is the s-step block size."""
+    """Returns ``(x, SolveStats)``.
+
+    ``restart``: Krylov dimension m per cycle (reference ``restart``,
+    pca_gmres.rs:38). ``block``: s-step size (reference ``block_size``);
+    ``None`` uses one block per cycle (s = m). ``tau``: relative drop
+    tolerance for the projected LS solve (reference ``drop_tol``);
+    ``None`` uses the lstsq machine default.
+    """
     A = as_operator(A)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
-    n = b.shape[0]
-    s = restart
+    m = restart
+    s = m if block is None else int(block)
+    if not 1 <= s <= m:
+        raise ValueError(f"block must be in [1, restart], got {s} vs m={m}")
+    if m % s:
+        raise ValueError(f"restart ({m}) must be a multiple of block ({s})")
+    t = m // s
     apply_M = (lambda v: v) if M is None else M.apply
     if M is None:
         side = "none"
@@ -102,42 +128,64 @@ def ca_gmres(
     res0 = jnp.sqrt(dot(r0, r0, axis_name))
     threshold = jnp.maximum(tol * res0, atol)
     hist = init_history(maxiter, res0, record_history)
-
-    # (s+1, s) shift matrix B: Op K[:s] = K B with monomial K
-    B = jnp.eye(s + 1, s, k=-1, dtype=b.dtype)
+    dtype = b.dtype
+    n = b.shape[0]
 
     def body(c: _Carry) -> _Carry:
         r = b - A.matvec(c.x)
         beta = jnp.sqrt(dot(r, r, axis_name))
 
-        # 1. monomial basis: s matvecs, no reductions (pca_gmres.rs:141-159)
-        def gen(carry, _):
-            v = carry
-            w = op(v)
-            return w, v
+        Q = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(safe_div(r, beta))
+        Z = jnp.zeros((m, n), dtype=dtype)  # the update directions
+        AZc = jnp.zeros((m, m + 1), dtype=dtype)  # coords of A·Z over Q
 
-        _, K = lax.scan(gen, safe_div(r, beta), None, length=s + 1)
-        # K: (s+1, n) rows [v, Op v, ..., Op^s v]
+        for j in range(t):  # static unroll over blocks
+            v = Q[j * s]
+            # 1. monomial powers: u_i = Op^i v, i = 1..s (s matvecs, 0 psums)
+            def gen(carry, _):
+                w = op(carry)
+                return w, w
 
-        # 2. CholeskyQR2 — two fused Gram reductions (pca_gmres.rs:172-211)
-        Q, L = _cholqr2(K, axis_name)
+            _, P0 = lax.scan(gen, v, None, length=s)  # (s, n)
 
-        # 3. projected LS: min_y || beta e1 - R B y ||, where K = L Q
-        #    Op K[:s] = K B  =>  Op K[:s]^T cols = Q^T (L^T? ) ...
-        # In row convention: K = L @ Q (rows). r = beta * K[0] = beta L[0] Q.
-        # Op applied to columns K_s: (K B)^T rows: B^T K = (B^T L) Q.
-        RB = B.T @ L  # (s, s+1): row-basis coefficients of Op K[:s]
-        rhs = beta * L[0]  # (s+1,)
-        # solve min_y || rhs - y @ RB ||  (y: (s,))
-        y, *_ = jnp.linalg.lstsq(RB.T, rhs)
-        update = y @ K[:s]
+            # 2. BCGS2 against the running basis (zero-padded rows of Q
+            #    contribute zero projections, so no masking is needed)
+            C1 = P0 @ Q.T
+            if axis_name is not None:
+                C1 = lax.psum(C1, axis_name)
+            P1 = P0 - C1 @ Q
+            C2 = P1 @ Q.T
+            if axis_name is not None:
+                C2 = lax.psum(C2, axis_name)
+            P2 = P1 - C2 @ Q
+            Qnew, L = _cholqr2(P2, axis_name)  # P2 = L @ Qnew
+
+            Q = lax.dynamic_update_slice(Q, Qnew, (j * s + 1, 0))
+            # coords of u_1..u_s over the (now extended) basis:
+            # P0 = (C1 + C2) @ Q_old + L @ Q_new
+            T = C1 + C2
+            T = lax.dynamic_update_slice(
+                T, L, (0, j * s + 1)
+            )  # (s, m+1)
+
+            # A acts on Z_block = [v, u_1, ..., u_{s-1}] giving [u_1..u_s],
+            # whose coordinates are exactly T (shift identity)
+            Zblock = jnp.concatenate([v[None, :], P0[: s - 1]], axis=0)
+            Z = lax.dynamic_update_slice(Z, Zblock, (j * s, 0))
+            AZc = lax.dynamic_update_slice(AZc, T, (j * s, 0))
+
+        # 3. projected LS over the orthonormal coordinates:
+        #    min_y || beta e0 - y @ AZc ||_2
+        rhs = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(AZc.T, rhs, rcond=tau)
+        update = y @ Z
         if side == "right":
             update = apply_M(update)
         x_new = c.x + update
 
         r_new = b - A.matvec(x_new)
         res = jnp.sqrt(dot(r_new, r_new, axis_name))
-        it = c.it + s
+        it = c.it + m
         # detect stagnation (ill-conditioned monomial basis): no progress
         stalled = res >= c.res * (1.0 - 1e-12)
         reached = res <= threshold

@@ -173,3 +173,17 @@ def test_sharded_convection_diffusion_bicgstab():
     x1, s1 = bicgstab(A, jnp.asarray(b), tol=1e-9, maxiter=500)
     xd, sd = sharded_solve(bicgstab, Ad, bd, mesh=mesh, tol=1e-9, maxiter=500)
     np.testing.assert_allclose(np.asarray(xd)[:576], np.asarray(x1), atol=1e-6)
+
+
+def test_sharded_ca_gmres_blocked():
+    # blocked (m, s) variant over the mesh: BCGS2 panels ride psum
+    mesh, a, A, Ad, b, bd, n = _setup()
+    x1, s1 = ca_gmres(A, jnp.asarray(b), tol=1e-8, maxiter=800, restart=12, block=4)
+    xd, sd = sharded_solve(
+        ca_gmres, Ad, bd, mesh=mesh, tol=1e-8, maxiter=800, restart=12, block=4
+    )
+    assert bool(sd.reached_tol)
+    assert int(sd.iterations) == int(s1.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xd)[:n], np.linalg.solve(a.todense(), b), atol=1e-4
+    )
