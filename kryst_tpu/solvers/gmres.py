@@ -72,6 +72,63 @@ def _orthogonalize_cgs2(V, w, j, axis_name=None):
     return w, h1 + h2
 
 
+def _orthogonalize_cgs(V, w, j, axis_name=None):
+    """Single-pass classical Gram-Schmidt (reference ``Orthog::Classical``,
+    fgmres.rs:217-224): half the panel cost of CGS2, adequate for
+    well-conditioned bases."""
+    mp1 = V.shape[0]
+    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
+    h1 = V @ w
+    if axis_name is not None:
+        h1 = lax.psum(h1, axis_name)
+    h1 = h1 * mask
+    return w - h1 @ V, h1
+
+
+def _orthogonalize_cgs_adaptive(V, w, j, axis_name=None, eta=0.5):
+    """CGS with a CONDITIONAL second pass (reference fgmres.rs:217-247
+    re-orthogonalizes only when the correction is significant).
+
+    The first panel is fused with ||w||^2 (one extra row in the matmul),
+    and by Pythagoras ||w_orth||^2 = ||w||^2 - ||h1||^2, so the selective
+    re-orthogonalization criterion ||w_orth||^2 < eta * ||w||^2
+    (Rutishauser; eta = 1/2) costs no extra reduction. The second panel
+    runs inside ``lax.cond`` — skipped entirely when the basis is clean,
+    which on TPU removes the dominant GMRES panel cost in the common case.
+    """
+    mp1 = V.shape[0]
+    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
+    G = jnp.concatenate([V, w[None, :]]) @ w  # fused panel: [V @ w; <w,w>]
+    if axis_name is not None:
+        G = lax.psum(G, axis_name)
+    h1 = G[:mp1] * mask
+    ww = G[mp1]
+    w1 = w - h1 @ V
+    drop = ww - h1 @ h1  # = ||w1||^2 up to roundoff
+    need_second = drop < eta * ww
+
+    def second(args):
+        w1, h1 = args
+        h2 = V @ w1
+        h2 = lax.psum(h2, axis_name) if axis_name is not None else h2
+        h2 = h2 * mask
+        return w1 - h2 @ V, h1 + h2
+
+    def keep(args):
+        return args
+
+    return lax.cond(need_second, second, keep, (w1, h1))
+
+
+_ORTHOGONALIZERS = {
+    "cgs2": _orthogonalize_cgs2,
+    "mgs2": None,  # filled below (defined next)
+    "classical": _orthogonalize_cgs,
+    "cgs": _orthogonalize_cgs,
+    "adaptive": _orthogonalize_cgs_adaptive,
+}
+
+
 def _orthogonalize_mgs2(V, w, j, axis_name=None):
     """Modified Gram-Schmidt (sequential) + second pass (gmres.rs:83-96)."""
     mp1 = V.shape[0]
@@ -91,6 +148,9 @@ def _orthogonalize_mgs2(V, w, j, axis_name=None):
     w, h1 = pass_(w)
     w, h2 = pass_(w)
     return w, h1 + h2
+
+
+_ORTHOGONALIZERS["mgs2"] = _orthogonalize_mgs2
 
 
 def _apply_stored_givens(h, cs, sn, j):
@@ -212,7 +272,11 @@ def gmres(
     apply_M = (lambda v: v) if M is None else M.apply
     if M is None:
         side = "none"
-    orth = _orthogonalize_cgs2 if orthog == "cgs2" else _orthogonalize_mgs2
+    if orthog not in _ORTHOGONALIZERS:
+        raise ValueError(
+            f"orthog must be one of {sorted(_ORTHOGONALIZERS)}, got {orthog!r}"
+        )
+    orth = _ORTHOGONALIZERS[orthog]
 
     def residual(x):
         r = b - A.matvec(x)
@@ -381,7 +445,11 @@ def fgmres(
         apply_M = M
     else:
         apply_M = lambda it, v: M.apply(v)
-    orth = _orthogonalize_cgs2 if orthog == "cgs2" else _orthogonalize_mgs2
+    if orthog not in _ORTHOGONALIZERS:
+        raise ValueError(
+            f"orthog must be one of {sorted(_ORTHOGONALIZERS)}, got {orthog!r}"
+        )
+    orth = _ORTHOGONALIZERS[orthog]
 
     r0 = b - A.matvec(x)
     res0 = jnp.sqrt(dot(r0, r0, axis_name))

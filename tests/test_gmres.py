@@ -133,3 +133,34 @@ def test_gmres_singular_warns_zero_pivot_or_stalls():
     b = jnp.array([1.0, 1.0])
     x, stats = gmres(A, b, tol=1e-12, maxiter=10, restart=5)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_orthog_variants_converge_alike():
+    # classical (single-pass, fgmres.rs:217-224's Orthog::Classical) and
+    # adaptive (conditional second pass, fgmres.rs:217-247) match CGS2
+    from kryst_tpu.solvers.gmres import fgmres, gmres
+
+    a = gallery.convection_diffusion_2d(20)
+    A = a.to_ell()
+    b = jnp.ones(400)
+    expected = np.linalg.solve(a.todense(), np.ones(400))
+    xr, sr = gmres(A, b, tol=1e-9, maxiter=800, restart=20, orthog="cgs2")
+    for orthog in ("classical", "adaptive", "mgs2"):
+        x, st = gmres(A, b, tol=1e-9, maxiter=800, restart=20, orthog=orthog)
+        assert bool(st.reached_tol), orthog
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-6, err_msg=orthog)
+        assert abs(int(st.iterations) - int(sr.iterations)) <= 4, orthog
+    for orthog in ("classical", "adaptive"):
+        x, st = fgmres(A, b, tol=1e-9, maxiter=800, restart=20, orthog=orthog)
+        assert bool(st.reached_tol), orthog
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-6, err_msg=orthog)
+
+
+def test_orthog_unknown_raises():
+    import pytest
+
+    from kryst_tpu.solvers.gmres import gmres
+
+    a = gallery.poisson_2d(4)
+    with pytest.raises(ValueError, match="orthog"):
+        gmres(a.to_ell(), jnp.ones(16), orthog="nope")
