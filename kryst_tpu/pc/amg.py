@@ -223,6 +223,11 @@ class AMGPC:
     nu_pre: int = dataclasses.field(metadata=dict(static=True))
     nu_post: int = dataclasses.field(metadata=dict(static=True))
     smooth_omega: float = dataclasses.field(metadata=dict(static=True))
+    #: optional RCM permutation of the FINEST level's row space (set when
+    #: level 0 is only diagonal-sparse after reordering): apply() permutes
+    #: r in and z out — two n-element gathers per V-cycle, vs per-SMOOTH
+    #: n*k-element gathers on the unpermuted ELL path
+    perm0: Tuple[Array, ...] = ()  # () or (perm, iperm)
 
     def _smooth(self, lvl: AMGLevel, z: Array, r: Array, nu: int) -> Array:
         for _ in range(nu):
@@ -246,6 +251,9 @@ class AMGPC:
         return self._smooth(lvl, z, r, self.nu_post)
 
     def apply(self, r: Array) -> Array:
+        if self.perm0:
+            perm, iperm = self.perm0
+            return self._vcycle(0, r[perm])[iperm]
         return self._vcycle(0, r)
 
     @staticmethod
@@ -269,11 +277,23 @@ class AMGPC:
         diagonal structure allows) — the TPU fast path. Requires
         ``row_normalize=False`` (the explicit-P scaling does not factor);
         automatically disabled otherwise. RAP always uses the explicit P,
-        so the hierarchy is identical either way."""
+        so the hierarchy is identical either way.
+
+        Levels whose operator is NOT diagonal-sparse in natural order are
+        retried under a reverse-Cuthill-McKee reordering (``rcm=True``):
+        a banded permuted operator becomes DIA (gather-free), the agg maps
+        of adjacent levels are relabeled consistently ON HOST (zero runtime
+        cost), and only a finest-level permutation costs anything at apply
+        time (two n-gathers per V-cycle — see :attr:`AMGPC.perm0`). This
+        takes unstructured (bcsstk-like) hierarchies off the ~2 GB/s TPU
+        ELL-gather cliff."""
         dtype = dtype or a.data.dtype
         A = _to_scipy(a)
         use_fast = fast_transfers and not row_normalize
-        levels: List[AMGLevel] = []
+        rcm = True
+
+        # -------- pass 1 (host): hierarchy + per-level storage decisions
+        plans: List[dict] = []
         for _ in range(max_levels):
             if A.shape[0] <= coarse_size:
                 break
@@ -286,41 +306,88 @@ class AMGPC:
             R = P.T.tocsr()
             d = np.asarray(A.diagonal())
             inv_d = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
-            A_dia = None
+            A_dia, perm = None, None
             if use_fast:
                 from kryst_tpu.ops.dia import scipy_to_dia
 
                 # DIA stores ndiag * n entries: cap the dense-plane budget
                 # (~256 MB f32) as well as the raw offset count
                 budget = max(32, 64_000_000 // max(A.shape[0], 1))
+                cap = min(max_dia_offsets, budget)
                 try:
-                    A_dia = scipy_to_dia(
-                        A, max_offsets=min(max_dia_offsets, budget), dtype=dtype
-                    )
+                    A_dia = scipy_to_dia(A, max_offsets=cap, dtype=dtype)
                 except ValueError:
-                    A_dia = None  # not diagonal-sparse: fast path would be
-                    # a pessimization (functional transfers add A matvecs
-                    # that would run on the slow ELL gather path)
-            if A_dia is not None:
+                    if rcm:
+                        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                        p = np.asarray(
+                            reverse_cuthill_mckee(A, symmetric_mode=False),
+                            dtype=np.int64,
+                        )
+                        try:
+                            A_dia = scipy_to_dia(
+                                A[p][:, p].tocsr(), max_offsets=cap, dtype=dtype
+                            )
+                            perm = p
+                        except ValueError:
+                            A_dia = None  # banded even after RCM is too wide:
+                            # fall back to the explicit ELL level
+            plans.append(
+                dict(
+                    A=A, agg=agg, nc=nc, P=P, R=R, inv_d=inv_d,
+                    A_dia=A_dia, perm=perm,
+                )
+            )
+            A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
+
+        # -------- pass 2: device levels with consistently relabeled maps.
+        # If level l+1 is stored permuted by p, level l's agg values are
+        # relabeled by iperm_{l+1}, and level l's own rows follow its own
+        # perm — all free host work.
+        levels: List[AMGLevel] = []
+        perm0 = ()
+        for li, pl_ in enumerate(plans):
+            perm_self = pl_["perm"]
+            perm_next = plans[li + 1]["perm"] if li + 1 < len(plans) else None
+            agg = pl_["agg"]
+            if perm_next is not None:
+                iperm_next = np.empty_like(perm_next)
+                iperm_next[perm_next] = np.arange(len(perm_next))
+                agg = iperm_next[agg]
+            if pl_["A_dia"] is not None:
+                inv_d = pl_["inv_d"]
+                if perm_self is not None:
+                    agg = agg[perm_self]
+                    inv_d = inv_d[perm_self]
+                    if li == 0:
+                        iperm0 = np.empty_like(perm_self)
+                        iperm0[perm_self] = np.arange(len(perm_self))
+                        perm0 = (
+                            jnp.asarray(perm_self.astype(np.int32)),
+                            jnp.asarray(iperm0.astype(np.int32)),
+                        )
                 levels.append(
                     AMGFastLevel(
-                        A=A_dia,
+                        A=pl_["A_dia"],
                         inv_diag=jnp.asarray(inv_d.astype(dtype)),
                         agg=jnp.asarray(agg.astype(np.int32)),
-                        nc=nc,
+                        nc=pl_["nc"],
                         p_omega=p_omega,
                     )
                 )
             else:
+                P, R = pl_["P"], pl_["R"]
+                if perm_next is not None:
+                    P = P[:, perm_next].tocsr()
+                    R = R[perm_next].tocsr()
                 levels.append(
                     AMGLevel(
-                        A=_scipy_to_ell(A, dtype),
+                        A=_scipy_to_ell(pl_["A"], dtype),
                         P=_scipy_to_ell(P, dtype),
                         R=_scipy_to_ell(R, dtype),
-                        inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                        inv_diag=jnp.asarray(pl_["inv_d"].astype(dtype)),
                     )
                 )
-            A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
         if A.shape[0] > max(coarse_size * 8, 4096):
             # coarsening stalled (e.g. strongly diagonally dominant matrix
             # where every connection falls below theta): a dense inverse of
@@ -338,11 +405,12 @@ class AMGPC:
             nu_pre=nu_pre,
             nu_post=nu_post,
             smooth_omega=smooth_omega,
+            perm0=perm0,
         )
 
 
 register_dataclass(
     AMGPC,
-    data_fields=["levels", "coarse_inv"],
+    data_fields=["levels", "coarse_inv", "perm0"],
     meta_fields=["nu_pre", "nu_post", "smooth_omega"],
 )
