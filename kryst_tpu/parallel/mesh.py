@@ -15,6 +15,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "shards"
+PLANE_AXIS = "planes"
 
 
 def solver_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
@@ -24,6 +25,25 @@ def solver_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     return jax.make_mesh(
         (n,), (axis,),
         axis_types=(jax.sharding.AxisType.Auto,),
+        devices=devs[:n],
+    )
+
+
+def solver_mesh_2d(
+    n_rows: int = 4,
+    n_planes: int = 2,
+    row_axis: str = AXIS,
+    plane_axis: str = PLANE_AXIS,
+) -> Mesh:
+    """2-D mesh: block rows over the FAST (ICI-adjacent, leading) axis so
+    halo ppermutes ride neighbor links, diagonal planes over the second
+    (slower / DCN-shaped) axis whose only traffic is one psum per matvec
+    (docs/ROADMAP.md item 4)."""
+    devs = jax.devices()
+    n = n_rows * n_planes
+    return jax.make_mesh(
+        (n_rows, n_planes), (row_axis, plane_axis),
+        axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
         devices=devs[:n],
     )
 

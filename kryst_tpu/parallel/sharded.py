@@ -284,3 +284,172 @@ def sharded_solve(
         return x, stats
 
     return run(A.data, b, m_arg)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: block rows x diagonal planes (docs/ROADMAP.md item 4)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HaloDIA2DOperator:
+    """DIA operator distributed over a 2-D mesh: rows block-sharded on
+    ``axis_name`` (halo ppermutes over fast ICI links), coefficient PLANES
+    sharded on ``plane_axis`` (each plane-rank computes a partial SpMV over
+    its diagonals; one psum over the plane axis combines them).
+
+    Because the SAME program runs on every shard while different plane
+    ranks hold different diagonals, offsets are carried as DATA (an int32
+    vector sharded on the plane axis) and each term is a
+    ``lax.dynamic_slice`` of the halo-extended vector at a traced start —
+    still contiguous, still gather-free. ``halo`` is the global max
+    |offset| (static).
+
+    When it pays: many-diagonal operators (RCM-banded matrices, AMG coarse
+    levels with 100+ planes), where splitting coefficient-plane HBM traffic
+    n_planes-ways outweighs one vector psum. For a 7-point stencil the
+    psum costs more than the 7 planes — use the 1-D mesh there.
+    """
+
+    data: Array  # local (planes_local, n_local)
+    offs: Array  # local (planes_local,) int32
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    axis_name: str = dataclasses.field(default=AXIS, metadata=dict(static=True))
+    plane_axis: str = dataclasses.field(default="planes", metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def _extend(self, x: Array) -> Array:
+        h = self.halo
+        n_local = x.shape[-1]
+        size = self.n_shards
+        right_edge = x[..., n_local - h :]
+        left_edge = x[..., :h]
+        from_left = lax.ppermute(
+            right_edge, self.axis_name, [(i, i + 1) for i in range(size - 1)]
+        )
+        from_right = lax.ppermute(
+            left_edge, self.axis_name, [(i + 1, i) for i in range(size - 1)]
+        )
+        return jnp.concatenate([from_left, x, from_right], axis=-1)
+
+    def matvec(self, x: Array) -> Array:
+        h = self.halo
+        n_local = x.shape[0]
+        xext = self._extend(x)
+        acc = jnp.zeros_like(x)
+        for k in range(self.data.shape[0]):  # static local plane count
+            acc = acc + self.data[k] * lax.dynamic_slice(
+                xext, (h + self.offs[k],), (n_local,)
+            )
+        return lax.psum(acc, self.plane_axis)
+
+    def rmatvec(self, x: Array) -> Array:
+        h = self.halo
+        n_local = x.shape[0]
+        xext = self._extend(x)
+        dext = self._extend(self.data)
+        prod = dext * xext[None, :]
+        acc = jnp.zeros_like(x)
+        for k in range(self.data.shape[0]):
+            acc = acc + lax.dynamic_slice(
+                prod[k], (h - self.offs[k],), (n_local,)
+            )
+        return lax.psum(acc, self.plane_axis)
+
+    def diagonal(self) -> Array:
+        contrib = jnp.sum(
+            jnp.where((self.offs == 0)[:, None], self.data, 0.0), axis=0
+        )
+        return lax.psum(contrib, self.plane_axis)
+
+
+register_dataclass(
+    HaloDIA2DOperator,
+    data_fields=["data", "offs"],
+    meta_fields=["halo", "n_shards", "axis_name", "plane_axis"],
+)
+
+
+def distribute_dia_2d(
+    A: DIAOperator, mesh: Mesh, row_axis: str = AXIS, plane_axis: str = "planes"
+) -> Tuple[HaloDIA2DOperator, int]:
+    """Shard a DIAOperator over a 2-D mesh: rows blocked on ``row_axis``,
+    coefficient planes on ``plane_axis``. Returns ``(op, n_padded)``."""
+    nd = mesh.shape[row_axis]
+    npl = mesh.shape[plane_axis]
+    n = A.n
+    n_pad = (-n) % nd
+    data = jnp.pad(A.data, ((0, 0), (0, n_pad)))
+    if n_pad and 0 in A.offsets:
+        k0 = A.offsets.index(0)
+        data = data.at[k0, n:].set(1.0)  # nonsingular padded block
+    # pad the plane count to a multiple of the plane axis with zero planes
+    # (offset 0, zero coefficients — exact no-ops)
+    p_pad = (-len(A.offsets)) % npl
+    if p_pad:
+        data = jnp.pad(data, ((0, p_pad), (0, 0)))
+    offs = jnp.asarray(list(A.offsets) + [0] * p_pad, dtype=jnp.int32)
+    halo = max(max(abs(o) for o in A.offsets), 1)
+    if halo > (n + n_pad) // nd:
+        raise ValueError(
+            f"halo {halo} exceeds local block {(n + n_pad) // nd}; "
+            "use fewer row shards or a narrower-band operator"
+        )
+    data = jax.device_put(data, NamedSharding(mesh, P(plane_axis, row_axis)))
+    offs = jax.device_put(offs, NamedSharding(mesh, P(plane_axis)))
+    return (
+        HaloDIA2DOperator(
+            data=data, offs=offs, halo=halo, n_shards=nd,
+            axis_name=row_axis, plane_axis=plane_axis,
+        ),
+        n + n_pad,
+    )
+
+
+def sharded_solve_2d(
+    solver_fn,
+    A: HaloDIA2DOperator,
+    b: Array,
+    *,
+    mesh: Mesh,
+    M=None,
+    **solver_kw,
+):
+    """Run a solver over the 2-D mesh: vectors are row-sharded and
+    replicated over the plane axis (every plane-rank runs the identical
+    vector recurrence; the matvec's plane-psum keeps them in lockstep).
+    Dots psum over the ROW axis only."""
+    row_axis, plane_axis = A.axis_name, A.plane_axis
+    solver_kw.setdefault("maxiter", int(b.shape[0]))
+    in_specs = (
+        P(plane_axis, row_axis),
+        P(plane_axis),
+        P(row_axis),
+        _m_specs(M, row_axis) if M is not None else P(),
+    )
+    m_arg = M if M is not None else jnp.zeros((), dtype=b.dtype)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(row_axis), P()),
+    )
+    def run(a_data, a_offs, b_local, m_local):
+        A_local = HaloDIA2DOperator(
+            data=a_data, offs=a_offs, halo=A.halo, n_shards=A.n_shards,
+            axis_name=row_axis, plane_axis=plane_axis,
+        )
+        M_local = m_local if M is not None else None
+        if M_local is not None:
+            x, stats = solver_fn(
+                A_local, b_local, M=M_local, axis_name=row_axis, **solver_kw
+            )
+        else:
+            x, stats = solver_fn(A_local, b_local, axis_name=row_axis, **solver_kw)
+        return x, stats
+
+    return run(A.data, A.offs, b, m_arg)

@@ -187,3 +187,77 @@ def test_sharded_ca_gmres_blocked():
     np.testing.assert_allclose(
         np.asarray(xd)[:n], np.linalg.solve(a.todense(), b), atol=1e-4
     )
+
+
+def test_mesh2d_matvec_and_rmatvec_match_single_device():
+    # (4, 2) mesh: rows over the fast axis, diagonal planes over the slow
+    # axis (docs/ROADMAP.md item 4)
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    from kryst_tpu.parallel.mesh import solver_mesh_2d
+    from kryst_tpu.parallel.sharded import HaloDIA2DOperator, distribute_dia_2d
+
+    mesh = solver_mesh_2d(4, 2)
+    a = gallery.convection_diffusion_2d(16)  # nonsymmetric, 5 planes -> 6 padded
+    A = csr_to_dia(a)
+    A2, n_padded = distribute_dia_2d(A, mesh)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(a.shape[0])
+    xd = jax.device_put(
+        jnp.pad(jnp.asarray(x), (0, n_padded - a.shape[0])),
+        jax.NamedSharding(mesh, P("shards")),
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("planes", "shards"), P("planes"), P("shards")),
+        out_specs=(P("shards"), P("shards"), P("shards")),
+    )
+    def mv(data, offs, xl):
+        import dataclasses as dc
+        Al = dc.replace(A2, data=data, offs=offs)
+        return Al.matvec(xl), Al.rmatvec(xl), Al.diagonal()
+
+    y, yt, d = mv(A2.data, A2.offs, xd)
+    Ad = np.asarray(a.todense())
+    np.testing.assert_allclose(np.asarray(y)[: a.shape[0]], Ad @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(yt)[: a.shape[0]], Ad.T @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(d)[: a.shape[0]], np.diag(Ad), rtol=1e-12)
+
+
+def test_mesh2d_pcg_matches_single_device():
+    from kryst_tpu.parallel.mesh import solver_mesh_2d
+    from kryst_tpu.parallel.sharded import distribute_dia_2d, sharded_solve_2d
+
+    mesh = solver_mesh_2d(4, 2)
+    a = gallery.poisson_2d(32)
+    A = csr_to_dia(a)
+    n = a.shape[0]
+    b = np.ones(n)
+    x1, s1 = pcg(A, jnp.asarray(b), M=JacobiPC.setup(A), tol=1e-9, maxiter=500)
+
+    A2, n_padded = distribute_dia_2d(A, mesh)
+    from jax.sharding import PartitionSpec as P
+
+    bd = jax.device_put(
+        jnp.pad(jnp.asarray(b), (0, n_padded - n)),
+        jax.NamedSharding(mesh, P("shards")),
+    )
+    # Jacobi from the distributed diagonal: compute it via a tiny shard_map
+    from functools import partial
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("planes", "shards"), P("planes")),
+        out_specs=P("shards"),
+    )
+    def diag_of(data, offs):
+        import dataclasses as dc
+        return dc.replace(A2, data=data, offs=offs).diagonal()
+
+    M2 = JacobiPC.from_diagonal(diag_of(A2.data, A2.offs))
+    xd, sd = sharded_solve_2d(pcg, A2, bd, mesh=mesh, M=M2, tol=1e-9, maxiter=500)
+    assert bool(sd.reached_tol)
+    assert int(sd.iterations) == int(s1.iterations)
+    np.testing.assert_allclose(np.asarray(xd)[:n], np.asarray(x1), atol=1e-8)
