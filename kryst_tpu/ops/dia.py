@@ -39,11 +39,21 @@ def _on_cpu() -> bool:
 
 @dataclasses.dataclass(frozen=True)
 class DIAOperator:
-    """Square sparse-diagonal operator."""
+    """Square sparse-diagonal operator.
+
+    ``data_blk``/``plan`` (optional) hold the pre-blocked coefficient
+    layout for the beyond-VMEM streaming kernel (ops/streamed.py) —
+    computed ONCE at construction by :func:`csr_to_dia`/:func:`scipy_to_dia`
+    for large matrices, because doing the re-layout inside a jitted matvec
+    is not hoisted out of solver while_loops and caps the kernel at ~155
+    GB/s vs 769 GB/s (measured at 8M dof).
+    """
 
     data: Array  # (ndiag, n)
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    data_blk: object = None  # Optional[Array], blocked-flat layout
+    plan: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -53,14 +63,48 @@ class DIAOperator:
     def dtype(self):
         return self.data.dtype
 
+    def planned(self, block_rows: int = 1024) -> "DIAOperator":
+        """Return a copy carrying the streaming-kernel layout.
+
+        Call OUTSIDE jit (host-side data). No-op if already planned."""
+        if self.data_blk is not None:
+            return self
+        from kryst_tpu.ops.streamed import plan_dia
+
+        dblk, plan = plan_dia(np.asarray(self.data), self.offsets, block_rows)
+        return DIAOperator(
+            self.data, self.offsets, self.n, jnp.asarray(dblk), plan
+        )
+
+    def _resident(self) -> bool:
+        """Whole working set (coeffs + a few vectors) fits VMEM (128 MB on
+        v5e, measured): XLA keeps it resident across while_loop iterations
+        and runs the shifted-slice form at VMEM speed (~2 TB/s effective at
+        1M dof, measured) — any pallas_call here would force an HBM
+        round-trip and LOSE (44 us vs 17 us per SpMV at 1M dof, measured)."""
+        ws = (len(self.offsets) + 3) * self.n * self.data.dtype.itemsize
+        return ws <= 96 * 1024 * 1024
+
     def matvec(self, x: Array) -> Array:
-        # Both paths are gather-free. The XLA shifted-slice path emits ~5
-        # HLO ops per diagonal — fine for stencils (7 offsets), ruinous for
-        # multigrid coarse operators (125 offsets -> minutes of compile).
-        # The rolled Pallas kernel is O(#offset-groups) HLO ops.
-        if not _on_cpu() and len(self.offsets) > 8:
-            return dia_spmv_rolled(self.data, self.offsets, x)
-        return dia_spmv_xla(self.data, self.offsets, x)
+        # All paths are gather-free. Policy (measured on v5e):
+        # - resident working set, few offsets: XLA shifted slices (VMEM
+        #   speed; ~5 HLO ops per diagonal is fine at <= 8 offsets)
+        # - resident, many offsets: rolled Pallas kernel (the XLA form's
+        #   O(ndiag) HLO blew up compile time at 125-diagonal AMG levels)
+        # - beyond VMEM: streaming Pallas kernel (the XLA form craters to
+        #   ~79 GB/s at 8M dof; streaming a pre-planned contiguous layout
+        #   holds the measured HBM roofline)
+        if _on_cpu():
+            return dia_spmv_xla(self.data, self.offsets, x)
+        if self._resident():
+            if len(self.offsets) > 8:
+                return dia_spmv_rolled(self.data, self.offsets, x)
+            return dia_spmv_xla(self.data, self.offsets, x)
+        from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
+
+        if self.data_blk is not None:
+            return dia_spmv_planned(self.data_blk, self.offsets, x, self.plan)
+        return dia_spmv_streamed(self.data, self.offsets, x)
 
     def rmatvec(self, x: Array) -> Array:
         # A^T in DIA: diagonal d of A^T at offset -d, shifted by d:
@@ -79,11 +123,22 @@ class DIAOperator:
         return dia_spmv_xla(data_t, offs_t, x)
 
     def matvec_dot(self, p: Array):
-        """Fused (A p, <p, A p>) — one Pallas launch when it fits VMEM
-        (ops/fused.py); the capability hook the CG solvers probe for."""
-        from kryst_tpu.ops.fused import dia_spmv_dot
+        """(A p, <p, A p>) — the capability hook the CG solvers probe for.
 
-        return dia_spmv_dot(self.data, self.offsets, p)
+        At resident sizes the dot simply rides the XLA fusion of matvec
+        (measured: a separate fused Pallas kernel is SLOWER because the
+        pallas_call boundary evicts the VMEM-resident state). Beyond VMEM
+        the chunked streaming kernel folds the dot into its output pass."""
+        if not _on_cpu() and not self._resident():
+            from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
+
+            if self.data_blk is not None:
+                return dia_spmv_planned(
+                    self.data_blk, self.offsets, p, self.plan, with_dot=True
+                )
+            return dia_spmv_streamed(self.data, self.offsets, p, with_dot=True)
+        y = self.matvec(p)
+        return y, jnp.sum(p * y)
 
     def diagonal(self) -> Array:
         if 0 in self.offsets:
@@ -101,7 +156,11 @@ class DIAOperator:
         return out
 
 
-register_dataclass(DIAOperator, data_fields=["data"], meta_fields=["offsets", "n"])
+register_dataclass(
+    DIAOperator,
+    data_fields=["data", "data_blk"],
+    meta_fields=["offsets", "n", "plan"],
+)
 
 
 def dia_spmv_xla(data: Array, offsets: Tuple[int, ...], x: Array) -> Array:
@@ -209,9 +268,7 @@ def csr_to_dia(
     pos = {int(o): k for k, o in enumerate(offs)}
     for r, c, v in zip(A.row, A.col, A.data):
         data[pos[int(c - r)], r] += v
-    return DIAOperator(
-        jnp.asarray(data), tuple(int(o) for o in offs), n
-    )
+    return _make_dia(data, tuple(int(o) for o in offs), n)
 
 
 def scipy_to_dia(A, max_offsets: int = 512, dtype=np.float32) -> DIAOperator:
@@ -230,4 +287,17 @@ def scipy_to_dia(A, max_offsets: int = 512, dtype=np.float32) -> DIAOperator:
         (np.array([pos[int(o)] for o in (coo.col - coo.row)]), coo.row),
         coo.data.astype(dtype),
     )
-    return DIAOperator(jnp.asarray(data), tuple(int(o) for o in offs), n)
+    return _make_dia(data, tuple(int(o) for o in offs), n)
+
+
+def _make_dia(data: np.ndarray, offsets, n: int) -> DIAOperator:
+    """Build the operator; attach the streaming-kernel layout eagerly when
+    the working set is beyond the VMEM-residency threshold (the streaming
+    path is the hot path there, and the layout must be built outside jit)."""
+    op = DIAOperator(jnp.asarray(data), offsets, n)
+    if not op._resident():
+        from kryst_tpu.ops.streamed import plan_dia
+
+        dblk, plan = plan_dia(data, offsets)
+        op = DIAOperator(op.data, offsets, n, jnp.asarray(dblk), plan)
+    return op

@@ -1,20 +1,25 @@
 """Fused vector kernels for the Krylov hot loop.
 
 The reference's Rayon layer fuses axpy+dot loops on the CPU
-(wrappers.rs:92-127, cg.rs:147-154); on this TPU stack the analogous win is
-*launch-count* reduction: each XLA op costs ~27 us of dispatch (measured),
-so a CG iteration built from ~10 separate elementwise/reduction ops pays
-~0.3 ms of pure overhead at any problem size. These Pallas kernels collapse
-the iteration's vector work into two launches:
+(wrappers.rs:92-127, cg.rs:147-154). Round-1 history: these Pallas kernels
+were written against a measured-looking "~27 us dispatch per XLA op" — a
+number that turned out to be an artifact of timing through the host relay
+(~29 ms RPC round-trip amortized over too few iterations). Correctly
+measured (iteration-count slope inside one jit call), per-op overhead is
+~0.25 us and XLA keeps the whole 1M-dof CG state VMEM-resident across
+while_loop iterations, so a pallas_call boundary — which forces operands
+through HBM — makes the iteration SLOWER (44 us vs 28 us per PCG iteration
+at 1M dof, measured on v5e).
 
-- ``dia_spmv_dot``:  y = A p  AND  pap = <p, y>   (one kernel)
-- ``cg_fused_update``: x' = x + a p; r' = r - a q; rr = <r', r'>
-  (one kernel, scalar accumulated across the grid)
+Consequently ``cg_fused_update`` is now plain XLA (the fusion engine does
+the fusing), and the Pallas variants below are kept for the record, for
+tests, and for the scalar-accumulation pattern documentation: the (1,1)
+SMEM output with a constant index map stays resident across sequential
+grid steps, so read-modify-write accumulation is safe on TPU.
 
-Both have XLA fallbacks (CPU / odd shapes). Scalar outputs use the
-constant-index-map accumulation pattern: the (1,1) output block stays in
-VMEM across sequential grid steps, so read-modify-write accumulation is
-safe on TPU.
+The hot-path Pallas SpMV work lives in ops/streamed.py, where it belongs:
+BEYOND the VMEM-residency threshold, where streaming coefficients through
+VMEM beats XLA's HBM-bound shifted slices by ~8x.
 """
 from __future__ import annotations
 
@@ -153,20 +158,15 @@ def dia_spmv_dot(data: Array, offsets: Tuple[int, ...], p: Array):
 
 
 def cg_fused_update(x, p, r, q, alpha) -> Tuple[Array, Array, Array]:
-    """(x + alpha p, r - alpha q, <r', r'>) in one pass.
+    """(x + alpha p, r - alpha q, <r', r'>).
 
-    Inputs are zero-padded to a block multiple (padded lanes contribute
-    0 - alpha*0 = 0 to the reduction, so the dot is unaffected)."""
+    Plain XLA ops on purpose: XLA fuses this chain into 1-2 fusions and —
+    decisively — keeps the vectors VMEM-resident across while_loop
+    iterations at 1M-dof scale (128 MB VMEM on v5e). The Pallas variant
+    (:func:`_cg_fused_update_pallas`, kept for the record and covered by
+    tests) forces the four vectors through HBM at the kernel boundary and
+    measured 16 us/iteration SLOWER inside PCG at 1M dof."""
     alpha = jnp.asarray(alpha, x.dtype)
-    n = x.shape[0]
-    if _on_cpu() or n < 8192:
-        x_new = x + alpha * p
-        r_new = r - alpha * q
-        return x_new, r_new, jnp.sum(r_new * r_new)
-    blk = 65536
-    n_pad = (-n) % blk if n >= blk else (-n) % 8192
-    if n_pad:
-        pad = lambda v: jnp.pad(v, (0, n_pad))
-        xo, ro, rr = _cg_fused_update_pallas(pad(x), pad(p), pad(r), pad(q), alpha)
-        return xo[:n], ro[:n], rr
-    return _cg_fused_update_pallas(x, p, r, q, alpha)
+    x_new = x + alpha * p
+    r_new = r - alpha * q
+    return x_new, r_new, jnp.sum(r_new * r_new)

@@ -1,0 +1,288 @@
+"""Grid-streamed DIA SpMV for beyond-VMEM problem sizes.
+
+BELOW the VMEM-residency threshold (~96 MB working set; v5e VMEM is
+128 MB) the XLA shifted-slice form in ops/dia.py wins outright: XLA keeps
+coefficients and Krylov vectors VMEM-resident across while_loop
+iterations (17 us / 2+ TB/s effective at 1M dof, measured) and any
+pallas_call boundary would force an HBM round-trip. ABOVE it XLA's form
+craters (79 GB/s at 8M dof, measured) because the concatenate chains
+materialize in HBM. This module is the above-threshold path.
+
+The kernel keeps (a window of) x resident in VMEM and STREAMS the
+coefficient panels through VMEM block by block via the grid. Two facts
+bought the bandwidth (all measured at 8M dof on v5e):
+
+- **Coefficient layout is everything.** Streaming D blocks out of the
+  canonical (ndiag, n) planes is a 7-way strided DMA per block: 155 GB/s.
+  Re-laying D out so each block's panel is one CONTIGUOUS (ndiag*bm, 128)
+  stream: 769 GB/s — the full measured HBM roofline. The re-layout MUST
+  happen once, outside the solver loop (``plan_dia``): done inside the
+  jitted matvec it is NOT hoisted out of while_loops and its ~450 MB of
+  hidden traffic caps the kernel at 155 GB/s regardless of layout.
+- **One aligned window per block.** Per-offset shifts are static slices
+  of a materialized (bm+2·margin, 128) window (sublane shifts), not
+  per-offset misaligned dynamic slices of the ref.
+
+Shift convention (matches ops/dia.py): y[j] = sum_d data[d, j] *
+x[j + off_d]; viewing x as (rows, 128) lanes, off = q*128 + r maps
+output row t to input rows t+q (lanes < 128-r after a lane roll by -r)
+and t+q+1 (wrapped lanes). x is zero-padded with ``margin`` rows top and
+bottom so every window read is in bounds and out-of-range terms are
+exact zeros.
+
+The optional fused <x, Ax> partial accumulates into an SMEM (1,1) output
+with a constant index map — sequential TPU grid steps make the
+read-modify-write safe.
+
+Mosaic's scoped-VMEM limit defaults to 16 MB — far below the 128 MB
+physical VMEM — so ``vmem_limit_bytes`` is sized from the actual buffers
+(measured OOM without this at 8M dof).
+
+Reference: the SpMV this replaces densifies on the reference side
+(src/matrix/sparse.rs:56-67); every GB/s here is a genuine win over it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# Budget for the VMEM-resident x window inside the kernel. v5e VMEM is
+# 128 MB; leave room for double-buffered coefficient panels, the output
+# block, and shift temporaries.
+_X_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+
+
+class DIAPlan(NamedTuple):
+    """Static metadata of a pre-blocked coefficient layout (see plan_dia)."""
+
+    block_rows: int
+    margin: int
+    mpad: int
+
+    @property
+    def nblk(self) -> int:
+        return self.mpad // self.block_rows
+
+
+def _plan_geometry(n: int, offsets, block_rows: int) -> DIAPlan:
+    m = -(-n // 128)
+    mpad = -(-m // block_rows) * block_rows
+    qs = [divmod(off, 128)[0] for off in offsets]
+    margin = max(max(q + 1 for q in qs), max(-q for q in qs), 8)
+    margin = -(-margin // 8) * 8
+    return DIAPlan(block_rows, margin, mpad)
+
+
+def plan_dia(
+    data: np.ndarray, offsets: Tuple[int, ...], block_rows: int = 1024
+) -> Tuple[np.ndarray, DIAPlan]:
+    """Blocked-flat coefficient layout for the streaming kernel.
+
+    Returns ``(data_blk, plan)`` where ``data_blk`` has shape
+    ``(nblk*ndiag*block_rows, 128)``: block i's panel is the contiguous
+    row range ``[i*ndiag*bm, (i+1)*ndiag*bm)`` with diagonal k at panel
+    rows ``[k*bm, (k+1)*bm)``. Call ONCE at operator construction (host
+    side): computing this inside a jitted matvec is not hoisted out of
+    solver while_loops and costs ~3x the kernel's own traffic.
+    """
+    ndiag, n = data.shape
+    plan = _plan_geometry(n, offsets, block_rows)
+    bm, mpad = plan.block_rows, plan.mpad
+    npad = mpad * 128
+    nblk = plan.nblk
+    d = np.zeros((ndiag, npad), dtype=data.dtype)
+    d[:, :n] = np.asarray(data)
+    d = (
+        d.reshape(ndiag, nblk, bm, 128)
+        .transpose(1, 0, 2, 3)
+        .reshape(nblk * ndiag * bm, 128)
+    )
+    return np.ascontiguousarray(d), plan
+
+
+def _streamed_kernel(offsets, bm, margin, with_dot, x_ref, d_ref, o_ref, *rest):
+    import jax.experimental.pallas as pl
+    import jax.lax as lax_
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    i0 = i * bm
+    lane = lax_.broadcasted_iota(jnp.int32, (bm, 128), 1)
+    # ONE aligned dynamic window per block (i0 is a multiple of bm and
+    # margin of 8, so the slice start is sublane-aligned); the per-offset
+    # shifts below are then STATIC slices of a materialized value, which
+    # Mosaic lowers to cheap sublane shifts instead of per-offset
+    # misaligned VMEM copies.
+    W0 = x_ref[pl.ds(i0, bm + 2 * margin), :]
+    acc = None
+    for k, off in enumerate(offsets):
+        q, r = divmod(off, 128)
+        base = margin + q
+        if r:
+            W = W0[base : base + bm + 1]
+            W1 = pltpu.roll(W, 128 - r, axis=1)  # lane l <- lane (l+r) % 128
+            Y = jnp.where(lane < 128 - r, W1[:bm], W1[1 : bm + 1])
+        else:
+            Y = W0[base : base + bm]
+        # d_ref is this block's flat panel (ndiag*bm, 128): diag k at rows
+        # [k*bm, (k+1)*bm). One CONTIGUOUS stream (769 GB/s vs 155 GB/s
+        # for the strided (ndiag, bm, 128) block DMA, measured).
+        term = d_ref[k * bm : (k + 1) * bm] * Y
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc
+    if with_dot:
+        acc_ref = rest[0]
+        xc = W0[margin : margin + bm]
+        partial = jnp.sum(xc * acc)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0, 0] = partial
+
+        @pl.when(i > 0)
+        def _():
+            acc_ref[0, 0] = acc_ref[0, 0] + partial
+
+
+def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndiag = len(offsets)
+    isz = Xw.dtype.itemsize
+    kern = functools.partial(_streamed_kernel, offsets, bm, margin, with_dot)
+    out_shape = [jax.ShapeDtypeStruct((nb * bm, 128), Xw.dtype)]
+    out_specs = [
+        pl.BlockSpec((bm, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), Xw.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+    vmem_bytes = (
+        (nb * bm + 2 * margin) * 128 * isz  # resident x window
+        + 2 * ndiag * bm * 128 * isz  # double-buffered coefficient panels
+        + 2 * bm * 128 * isz  # double-buffered output block
+        + 4 * (bm + 2 * margin) * 128 * isz  # window + shift temporaries
+        + (1 << 20)
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x window: resident
+            pl.BlockSpec(
+                (ndiag * bm, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(Xw, Dw)
+    return res if with_dot else res[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "plan", "with_dot", "interpret", "x_budget_bytes"),
+)
+def dia_spmv_planned(
+    data_blk: Array,
+    offsets: Tuple[int, ...],
+    x: Array,
+    plan: DIAPlan,
+    *,
+    with_dot: bool = False,
+    interpret: bool = False,
+    x_budget_bytes: Optional[int] = None,
+):
+    """y = A x (optionally with <x, A x>) from a pre-blocked layout.
+
+    Chunks over block ranges when the resident x window would exceed the
+    VMEM budget; each chunk's coefficient panel slice is contiguous by
+    construction, so chunking costs nothing in layout terms.
+    """
+    n = x.shape[0]
+    bm, margin, mpad = plan.block_rows, plan.margin, plan.mpad
+    ndiag = len(offsets)
+    npad = mpad * 128
+    nblk = plan.nblk
+    X = jnp.pad(x, (0, npad - n)).reshape(mpad, 128)
+    X = jnp.pad(X, ((margin, margin), (0, 0)))
+
+    isz = x.dtype.itemsize
+    budget = x_budget_bytes or _X_VMEM_BUDGET_BYTES
+    rows_budget = budget // (128 * isz)
+    cblk = max(1, (rows_budget - 2 * margin) // bm)
+    outs = []
+    dots = []
+    for b0 in range(0, nblk, cblk):
+        nb = min(cblk, nblk - b0)
+        Xw = jax.lax.dynamic_slice_in_dim(X, b0 * bm, nb * bm + 2 * margin)
+        Dw = jax.lax.dynamic_slice_in_dim(
+            data_blk, b0 * ndiag * bm, nb * ndiag * bm
+        )
+        res = _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb)
+        if with_dot:
+            outs.append(res[0])
+            dots.append(res[1][0, 0])
+        else:
+            outs.append(res)
+    y = (outs[0] if len(outs) == 1 else jnp.concatenate(outs)).reshape(npad)[:n]
+    if with_dot:
+        return y, (dots[0] if len(dots) == 1 else jnp.sum(jnp.stack(dots)))
+    return y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "with_dot", "block_rows", "interpret")
+)
+def dia_spmv_streamed(
+    data: Array,
+    offsets: Tuple[int, ...],
+    x: Array,
+    *,
+    with_dot: bool = False,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Convenience wrapper: plan + call in one jit.
+
+    NOTE: the layout transform runs inside the jit here, so inside a
+    solver while_loop it is NOT hoisted and costs ~3x the kernel's own
+    traffic per iteration — use :func:`plan_dia` once at construction and
+    :func:`dia_spmv_planned` for hot loops (DIAOperator does this).
+    """
+    n = x.shape[0]
+    ndiag = len(offsets)
+    plan = _plan_geometry(n, offsets, block_rows)
+    bm, mpad, nblk = plan.block_rows, plan.mpad, plan.nblk
+    npad = mpad * 128
+    D = (
+        jnp.pad(data, ((0, 0), (0, npad - n)))
+        .reshape(ndiag, nblk, bm, 128)
+        .transpose(1, 0, 2, 3)
+        .reshape(nblk * ndiag * bm, 128)
+    )
+    return dia_spmv_planned(
+        D, offsets, x, plan, with_dot=with_dot, interpret=interpret
+    )
+
+
+def streamed_fits(n: int, itemsize: int = 4) -> bool:
+    """True when x fits the kernel's resident-window budget in one chunk."""
+    return n * itemsize <= _X_VMEM_BUDGET_BYTES

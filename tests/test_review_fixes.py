@@ -68,7 +68,7 @@ def test_parse_pc_options_forwards_keys():
     cfg = parse_pc_options({"pc_type": "ilup", "fill": 3})
     assert dict(cfg.params)["fill"] == 3
     cfg = parse_pc_options({"pc_type": "ssor", "omega": 1.4, "its": 3})
-    assert dict(cfg.params) == {"omega": 1.4, "its": 3}
+    assert dict(cfg.params) == {"omega": 1.4, "its": 3, "eisenstat": False}
     cfg = parse_pc_options({"pc_type": "chebyshev", "degree": 20})
     assert dict(cfg.params)["degree"] == 20
     cfg = parse_pc_options({"pc_type": "ilut", "fill": 30, "drop_tol": 1e-5})

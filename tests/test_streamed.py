@@ -1,0 +1,78 @@
+"""Streamed DIA SpMV kernels (ops/streamed.py), interpret mode.
+
+These are the beyond-VMEM hot-path kernels; on the CPU test backend they
+run through the Pallas interpreter so the shift algebra (sublane window +
+lane roll + one-row carry) and the pre-planned blocked coefficient layout
+are checked exactly against the XLA reference form.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kryst_tpu.ops.dia import dia_spmv_xla
+from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed, plan_dia
+
+
+def _rand_case(n, offsets, seed=0):
+    rng = np.random.default_rng(seed)
+    offs = tuple(o for o in offsets if abs(o) < n)
+    data = rng.standard_normal((len(offs), n)).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    return data, offs, jnp.asarray(x)
+
+
+@pytest.mark.parametrize(
+    "n,offsets",
+    [
+        (70_000, (-10_000, -128, -1, 0, 1, 128, 10_000)),  # 3-D stencil shape
+        (5_000, (-300, -7, 0, 7, 300)),
+        (66_000, (-65_536, 0, 65_536)),  # |offset| ~ n
+        (1_000, (0,)),  # diagonal only, single block
+    ],
+)
+def test_streamed_matches_xla(n, offsets):
+    data, offs, x = _rand_case(n, offsets)
+    y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
+    y, pap = dia_spmv_streamed(
+        jnp.asarray(data), offs, x, with_dot=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5, atol=1e-4)
+    ref_dot = float(np.asarray(x) @ y_ref)
+    assert abs(float(pap) - ref_dot) <= 2e-4 * max(1.0, abs(ref_dot))
+
+
+def test_planned_multi_chunk_matches_xla():
+    n = 50_000
+    data, offs, x = _rand_case(n, (-2_000, -128, -1, 0, 1, 128, 2_000), seed=3)
+    y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
+    dblk, plan = plan_dia(data, offs, block_rows=64)
+    # tiny x budget -> forces the multi-chunk path (several kernel calls)
+    y, pap = dia_spmv_planned(
+        jnp.asarray(dblk), offs, x, plan,
+        with_dot=True, interpret=True, x_budget_bytes=64 * 1024,
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5, atol=1e-4)
+    ref_dot = float(np.asarray(x) @ y_ref)
+    assert abs(float(pap) - ref_dot) <= 2e-4 * max(1.0, abs(ref_dot))
+
+
+def test_planned_single_chunk_matches_streamed():
+    n = 4_096
+    data, offs, x = _rand_case(n, (-64, 0, 64), seed=5)
+    dblk, plan = plan_dia(data, offs, block_rows=8)
+    y = dia_spmv_planned(jnp.asarray(dblk), offs, x, plan, interpret=True)
+    y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_planned_operator_roundtrip():
+    # DIAOperator.planned() carries the layout; matvec stays exact
+    from kryst_tpu.ops.dia import DIAOperator
+
+    n = 2_048
+    data, offs, x = _rand_case(n, (-32, -1, 0, 1, 32), seed=7)
+    A = DIAOperator(jnp.asarray(data), offs, n).planned(block_rows=8)
+    assert A.data_blk is not None and A.plan.block_rows == 8
+    y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
+    y = dia_spmv_planned(A.data_blk, A.offsets, x, A.plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5, atol=1e-4)
