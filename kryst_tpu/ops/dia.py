@@ -198,10 +198,10 @@ def _dia_rolled_kernel(offsets, m, x_ref, d_ref, o_ref):
         q, r = divmod(off, 128)
         # pltpu.roll takes non-negative shifts; rolls are circular so
         # a shift of -s is (axis_len - s) % axis_len
-        Y = pltpu.roll(X, (-q) % m, axis=0) if q % m else X
+        Y = pltpu.roll(X, jnp.int32((-q) % m), axis=0) if q % m else X
         if r:
-            Y1 = pltpu.roll(Y, (-r) % 128, axis=1)
-            Y2 = pltpu.roll(Y1, m - 1, axis=0)
+            Y1 = pltpu.roll(Y, jnp.int32((-r) % 128), axis=1)
+            Y2 = pltpu.roll(Y1, jnp.int32(m - 1), axis=0)
             Y = jnp.where(lane < 128 - r, Y1, Y2)
         term = d_ref[k] * Y
         acc = term if acc is None else acc + term

@@ -130,7 +130,7 @@ def _streamed_kernel(offsets, bm, margin, with_dot, x_ref, d_ref, o_ref, *rest):
         base = margin + q
         if r:
             W = W0[base : base + bm + 1]
-            W1 = pltpu.roll(W, 128 - r, axis=1)  # lane l <- lane (l+r) % 128
+            W1 = pltpu.roll(W, jnp.int32(128 - r), axis=1)  # lane l <- lane (l+r) % 128
             Y = jnp.where(lane < 128 - r, W1[:bm], W1[1 : bm + 1])
         else:
             Y = W0[base : base + bm]

@@ -17,12 +17,74 @@ limiter.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Callable, List, NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import Array, lax
 
 from kryst_tpu.matrix.csr import CSRMatrix
+
+
+class RefineStats(NamedTuple):
+    """Jit-friendly refinement outcome (all fields are device scalars)."""
+
+    outer_iterations: Array
+    inner_iterations: Array
+    rel_residual: Array  # TRUE f64 relative residual of the returned x
+    converged: Array
+
+
+def refine_device(
+    A64,
+    b,
+    inner_solve: Callable,
+    *,
+    tol: float = 1e-10,
+    max_outer: int = 8,
+) -> Tuple[Array, RefineStats]:
+    """Iterative refinement with the OUTER loop on device (f64, emulated).
+
+    :func:`iterative_refinement` computes the f64 residual on the host —
+    correct, but each outer pass pays host<->device vector transfers and
+    a ~29 ms relay round-trip, which at 1M dof costs ~10x the inner f32
+    solve itself (measured round 2: 1.3 s host-looped vs ~0.15 s here).
+    TPU f64 emulation is ~10-100x slower per op than f32, but the outer
+    pass is ONE sparse matvec + two norms: ~2 ms at 1M dof — noise next
+    to any transfer. Everything stays in one jit; the whole refined solve
+    is a single host round-trip.
+
+    ``A64``: operator with f64 data (e.g. ``csr_to_dia(a, dtype=np.float64)``;
+    requires ``jax.config.update("jax_enable_x64", True)``).
+    ``inner_solve(r32) -> (d, stats)``: traceable f32 solver closure; the
+    rhs passed to it is normalized so f32 dynamic range never limits.
+
+    Returns ``(x_f64, RefineStats)``.
+    """
+    b = jnp.asarray(b, jnp.float64)
+    bnorm = jnp.linalg.norm(b)
+    bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def cond(c):
+        x, r, rel, k, it = c
+        return (rel > tol) & (k < max_outer)
+
+    def body(c):
+        x, r, rel, k, it = c
+        rnorm = jnp.linalg.norm(r)
+        rnorm_safe = jnp.where(rnorm > 0, rnorm, 1.0)
+        d, st = inner_solve((r / rnorm_safe).astype(jnp.float32))
+        x = x + rnorm * d.astype(jnp.float64)
+        r_new = b - A64.matvec(x)  # exact f64 residual, on device
+        rel_new = jnp.linalg.norm(r_new) / bnorm_safe
+        inner_its = st.iterations if st is not None else jnp.int32(0)
+        return (x, r_new, rel_new, k + 1, it + inner_its)
+
+    x0 = jnp.zeros_like(b)
+    rel0 = jnp.where(bnorm > 0, 1.0, 0.0)
+    init = (x0, b, rel0, jnp.int32(0), jnp.int32(0))
+    x, r, rel, k, it = lax.while_loop(cond, body, init)
+    return x, RefineStats(k, it, rel, rel <= tol)
 
 
 def iterative_refinement(

@@ -52,3 +52,36 @@ def test_refinement_zero_rhs():
     x, info = iterative_refinement(a, np.zeros(64), lambda r: (r, None), tol=1e-12)
     assert info["converged"]
     np.testing.assert_array_equal(x, 0)
+
+
+def test_refine_device_poisson():
+    # on-device outer loop (f64 emulation path; here CPU f64 is native)
+    import jax
+
+    from kryst_tpu.solvers.refine import refine_device
+
+    a = gallery.poisson_2d(32)
+    A64 = csr_to_dia(a, dtype=np.float64)
+    A32 = csr_to_dia(a, dtype=np.float32)
+    M32 = JacobiPC.setup(A32)
+    b = np.random.default_rng(1).standard_normal(1024)
+
+    def inner(rhs):
+        return pcg(A32, rhs, M=M32, tol=1e-5, maxiter=500, true_residual=False)
+
+    solve = jax.jit(lambda bb: refine_device(A64, bb, inner, tol=1e-11))
+    x, st = solve(jnp.asarray(b))
+    assert bool(st.converged), float(st.rel_residual)
+    r = b - a.todense() @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-11
+    assert int(st.outer_iterations) <= 4
+
+
+def test_refine_device_zero_rhs():
+    from kryst_tpu.solvers.refine import refine_device
+
+    a = gallery.poisson_2d(8)
+    A64 = csr_to_dia(a, dtype=np.float64)
+    x, st = refine_device(A64, np.zeros(64), lambda r: (r, None), tol=1e-12)
+    assert bool(st.converged)
+    np.testing.assert_array_equal(np.asarray(x), 0)
