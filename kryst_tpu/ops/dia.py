@@ -94,7 +94,10 @@ class DIAOperator:
         # - beyond VMEM: streaming Pallas kernel (the XLA form craters to
         #   ~79 GB/s at 8M dof; streaming a pre-planned contiguous layout
         #   holds the measured HBM roofline)
-        if _on_cpu():
+        if _on_cpu() or self.data.dtype.itemsize >= 8:
+            # f64 is EMULATED on TPU and XLA's x64-rewrite pass cannot
+            # process custom_calls — f64 Pallas kernels are impossible
+            # (measured: 'rewriting not implemented: pallas_call f64').
             return dia_spmv_xla(self.data, self.offsets, x)
         if self._resident():
             if len(self.offsets) > 8:
@@ -129,7 +132,11 @@ class DIAOperator:
         (measured: a separate fused Pallas kernel is SLOWER because the
         pallas_call boundary evicts the VMEM-resident state). Beyond VMEM
         the chunked streaming kernel folds the dot into its output pass."""
-        if not _on_cpu() and not self._resident():
+        if (
+            not _on_cpu()
+            and not self._resident()
+            and self.data.dtype.itemsize < 8  # no f64 pallas on TPU
+        ):
             from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
             if self.data_blk is not None:
@@ -230,16 +237,27 @@ def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int 
     D = jnp.pad(data, ((0, 0), (0, npad - n))).reshape(len(offsets), m, 128)
     grp = max(1, min(group, (vmem_f32 - 2 * npad) // npad))
     out = None
+    # explicit whole-array index maps returning np.int32 zeros: under
+    # jax_enable_x64 the DEFAULT index map emits i64 zeros and Mosaic
+    # rejects the kernel (failed to legalize func.return (i64, i64))
+    z = np.int32(0)
     for g0 in range(0, len(offsets), grp):
         offs_g = offsets[g0 : g0 + grp]
         kern = functools.partial(_dia_rolled_kernel, offs_g, m)
         y = pl.pallas_call(
             kern,
+            grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, 128), lambda i: (z, z), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (len(offs_g), m, 128),
+                    lambda i: (z, z, z),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (m, 128), lambda i: (z, z), memory_space=pltpu.VMEM
+            ),
             out_shape=jax.ShapeDtypeStruct((m, 128), x.dtype),
         )(X, D[g0 : g0 + grp])
         out = y if out is None else out + y
@@ -295,7 +313,9 @@ def _make_dia(data: np.ndarray, offsets, n: int) -> DIAOperator:
     the working set is beyond the VMEM-residency threshold (the streaming
     path is the hot path there, and the layout must be built outside jit)."""
     op = DIAOperator(jnp.asarray(data), offsets, n)
-    if not op._resident():
+    if not op._resident() and data.dtype.itemsize < 8:
+        # (f64 never uses the streamed kernel -- see matvec -- so don't
+        # spend 2x memory on a layout it can't use)
         from kryst_tpu.ops.streamed import plan_dia
 
         dblk, plan = plan_dia(data, offsets)

@@ -28,6 +28,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 
@@ -79,7 +80,7 @@ def _cg_fused_update_pallas(x, p, r, q, alpha, block: int = 65536):
         ],
         out_specs=(
             vec(), vec(),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (np.int32(0), np.int32(0)), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n,), x.dtype),

@@ -158,32 +158,43 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # index maps return np.int32 zeros: under jax_enable_x64 a literal 0
+    # traces as i64 and Mosaic rejects the index fn (func.return (i64,i64))
     ndiag = len(offsets)
     isz = Xw.dtype.itemsize
     kern = functools.partial(_streamed_kernel, offsets, bm, margin, with_dot)
     out_shape = [jax.ShapeDtypeStruct((nb * bm, 128), Xw.dtype)]
     out_specs = [
-        pl.BlockSpec((bm, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bm, 128), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM)
     ]
     if with_dot:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), Xw.dtype))
         out_specs.append(
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1), lambda i: (np.int32(0), np.int32(0)), memory_space=pltpu.SMEM)
         )
     vmem_bytes = (
         (nb * bm + 2 * margin) * 128 * isz  # resident x window
         + 2 * ndiag * bm * 128 * isz  # double-buffered coefficient panels
         + 2 * bm * 128 * isz  # double-buffered output block
         + 4 * (bm + 2 * margin) * 128 * isz  # window + shift temporaries
-        + (1 << 20)
+        + (8 << 20)  # slack: Mosaic's stack accounting runs ~1 MB over ours
     )
+    z = np.int32(0)
     res = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x window: resident
+            # x window: resident (whole-array block). The explicit index map
+            # matters: a no-block-shape spec under a grid gets a DEFAULT
+            # index map whose zeros are i64 under jax_enable_x64, and
+            # Mosaic rejects the kernel (func.return (i64, i64)).
             pl.BlockSpec(
-                (ndiag * bm, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (nb * bm + 2 * margin, 128),
+                lambda i: (z, z),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ndiag * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=tuple(out_specs),
