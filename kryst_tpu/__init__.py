@@ -64,6 +64,11 @@ from kryst_tpu.solvers.gmres import fgmres, gmres
 from kryst_tpu.solvers.minres import minres
 from kryst_tpu.solvers.pipelined import pipecg
 from kryst_tpu.solvers.qmr import qmr
+from kryst_tpu.solvers.refine import (
+    RefineStats,
+    iterative_refinement,
+    refine_device,
+)
 from kryst_tpu.solvers.tfqmr import tfqmr
 
 __version__ = "0.1.0"
