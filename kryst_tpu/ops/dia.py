@@ -63,7 +63,7 @@ class DIAOperator:
     def dtype(self):
         return self.data.dtype
 
-    def planned(self, block_rows: int = 1024) -> "DIAOperator":
+    def planned(self, block_rows: int = 0) -> "DIAOperator":
         """Return a copy carrying the streaming-kernel layout.
 
         Call OUTSIDE jit (host-side data). No-op if already planned."""
@@ -99,14 +99,18 @@ class DIAOperator:
             # process custom_calls — f64 Pallas kernels are impossible
             # (measured: 'rewriting not implemented: pallas_call f64').
             return dia_spmv_xla(self.data, self.offsets, x)
-        if self._resident():
-            if len(self.offsets) > 8:
-                return dia_spmv_rolled(self.data, self.offsets, x)
+        if self._resident() and len(self.offsets) <= 8:
             return dia_spmv_xla(self.data, self.offsets, x)
         from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
         if self.data_blk is not None:
+            # planned streaming also wins at RESIDENT sizes once the
+            # offset count is large: the rolled whole-vector kernel pays
+            # HBM boundaries per offset-group launch (L2 of the 8M GMG
+            # hierarchy, 179 diagonals: 417 us rolled vs ~130 us streamed)
             return dia_spmv_planned(self.data_blk, self.offsets, x, self.plan)
+        if self._resident():
+            return dia_spmv_rolled(self.data, self.offsets, x)
         return dia_spmv_streamed(self.data, self.offsets, x)
 
     def rmatvec(self, x: Array) -> Array:
@@ -313,7 +317,7 @@ def _make_dia(data: np.ndarray, offsets, n: int) -> DIAOperator:
     the working set is beyond the VMEM-residency threshold (the streaming
     path is the hot path there, and the layout must be built outside jit)."""
     op = DIAOperator(jnp.asarray(data), offsets, n)
-    if not op._resident() and data.dtype.itemsize < 8:
+    if (not op._resident() or len(offsets) > 8) and data.dtype.itemsize < 8:
         # (f64 never uses the streamed kernel -- see matvec -- so don't
         # spend 2x memory on a layout it can't use)
         from kryst_tpu.ops.streamed import plan_dia

@@ -76,6 +76,7 @@ class DIAPlan(NamedTuple):
 
 def _plan_geometry(n: int, offsets, block_rows: int) -> DIAPlan:
     m = -(-n // 128)
+    block_rows = min(block_rows, -(-m // 8) * 8)  # don't pad small ops 4x
     mpad = -(-m // block_rows) * block_rows
     qs = [divmod(off, 128)[0] for off in offsets]
     margin = max(max(q + 1 for q in qs), max(-q for q in qs), 8)
@@ -83,8 +84,18 @@ def _plan_geometry(n: int, offsets, block_rows: int) -> DIAPlan:
     return DIAPlan(block_rows, margin, mpad)
 
 
+def auto_block_rows(ndiag: int, itemsize: int = 4) -> int:
+    """Largest block size whose double-buffered coefficient panel fits the
+    VMEM budget: 2 * ndiag * bm * 128 * itemsize <= ~48 MB. Many-diagonal
+    operators (AMG/GMG coarse levels, 100+ diagonals) need small blocks."""
+    bm = 1024
+    while bm > 8 and 2 * ndiag * bm * 128 * itemsize > 48 * 1024 * 1024:
+        bm //= 2
+    return bm
+
+
 def plan_dia(
-    data: np.ndarray, offsets: Tuple[int, ...], block_rows: int = 1024
+    data: np.ndarray, offsets: Tuple[int, ...], block_rows: int = 0
 ) -> Tuple[np.ndarray, DIAPlan]:
     """Blocked-flat coefficient layout for the streaming kernel.
 
@@ -96,6 +107,8 @@ def plan_dia(
     solver while_loops and costs ~3x the kernel's own traffic.
     """
     ndiag, n = data.shape
+    if not block_rows:
+        block_rows = auto_block_rows(ndiag, data.dtype.itemsize)
     plan = _plan_geometry(n, offsets, block_rows)
     bm, mpad = plan.block_rows, plan.mpad
     npad = mpad * 128
@@ -177,7 +190,11 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
         + 2 * ndiag * bm * 128 * isz  # double-buffered coefficient panels
         + 2 * bm * 128 * isz  # double-buffered output block
         + 4 * (bm + 2 * margin) * 128 * isz  # window + shift temporaries
-        + (8 << 20)  # slack: Mosaic's stack accounting runs ~1 MB over ours
+        # slack: Mosaic's stack accounting exceeds the buffer sum, and the
+        # excess grows with the unrolled offset loop (measured +3 MB at
+        # 179 offsets, bm=256)
+        + (8 << 20)
+        + ndiag * bm * 128 * isz // 4
     )
     z = np.int32(0)
     res = pl.pallas_call(
@@ -268,7 +285,7 @@ def dia_spmv_streamed(
     x: Array,
     *,
     with_dot: bool = False,
-    block_rows: int = 1024,
+    block_rows: int = 0,
     interpret: bool = False,
 ):
     """Convenience wrapper: plan + call in one jit.
@@ -280,6 +297,8 @@ def dia_spmv_streamed(
     """
     n = x.shape[0]
     ndiag = len(offsets)
+    if not block_rows:
+        block_rows = auto_block_rows(ndiag, x.dtype.itemsize)
     plan = _plan_geometry(n, offsets, block_rows)
     bm, mpad, nblk = plan.block_rows, plan.mpad, plan.nblk
     npad = mpad * 128
