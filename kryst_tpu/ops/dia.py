@@ -63,15 +63,23 @@ class DIAOperator:
     def dtype(self):
         return self.data.dtype
 
-    def planned(self, block_rows: int = 0) -> "DIAOperator":
+    def planned(self, block_rows: int = 0, blk_dtype=None) -> "DIAOperator":
         """Return a copy carrying the streaming-kernel layout.
 
-        Call OUTSIDE jit (host-side data). No-op if already planned."""
-        if self.data_blk is not None:
+        Call OUTSIDE jit (host-side data). No-op if already planned with
+        the requested precision. ``blk_dtype`` (e.g. ``jnp.bfloat16``)
+        stores the streamed coefficient panels in lower precision —
+        halves the dominant HBM stream; use only where an approximate
+        operator is acceptable (PC internals, refined inner solves)."""
+        if self.data_blk is not None and (
+            blk_dtype is None or self.data_blk.dtype == blk_dtype
+        ):
             return self
         from kryst_tpu.ops.streamed import plan_dia
 
-        dblk, plan = plan_dia(np.asarray(self.data), self.offsets, block_rows)
+        dblk, plan = plan_dia(
+            np.asarray(self.data), self.offsets, block_rows, blk_dtype=blk_dtype
+        )
         return DIAOperator(
             self.data, self.offsets, self.n, jnp.asarray(dblk), plan
         )

@@ -95,7 +95,8 @@ def auto_block_rows(ndiag: int, itemsize: int = 4) -> int:
 
 
 def plan_dia(
-    data: np.ndarray, offsets: Tuple[int, ...], block_rows: int = 0
+    data: np.ndarray, offsets: Tuple[int, ...], block_rows: int = 0,
+    blk_dtype=None,
 ) -> Tuple[np.ndarray, DIAPlan]:
     """Blocked-flat coefficient layout for the streaming kernel.
 
@@ -105,11 +106,26 @@ def plan_dia(
     rows ``[k*bm, (k+1)*bm)``. Call ONCE at operator construction (host
     side): computing this inside a jitted matvec is not hoisted out of
     solver while_loops and costs ~3x the kernel's own traffic.
+
+    ``blk_dtype``: store the panels in a lower precision (e.g. bf16 —
+    halves the dominant coefficient stream; the kernel's multiply
+    promotes back to x's dtype). Use only where an approximate operator
+    is acceptable: preconditioner internals (GMG/AMG levels), or inner
+    solves wrapped by f64 refinement.
     """
+    import jax.numpy as _jnp
+
+    data = np.asarray(data)
+    if blk_dtype is not None:
+        data = np.asarray(_jnp.asarray(data).astype(blk_dtype))
     ndiag, n = data.shape
     if not block_rows:
         block_rows = auto_block_rows(ndiag, data.dtype.itemsize)
     plan = _plan_geometry(n, offsets, block_rows)
+    if data.dtype.itemsize < 4 and plan.block_rows % 16:
+        # bf16 sublane tile is 16 rows; the tiny-operator clamp can give 8
+        bm16 = -(-plan.block_rows // 16) * 16
+        plan = DIAPlan(bm16, plan.margin, -(-plan.mpad // bm16) * bm16)
     bm, mpad = plan.block_rows, plan.mpad
     npad = mpad * 128
     nblk = plan.nblk

@@ -175,9 +175,17 @@ class GMGPC:
         max_offsets: int = 512,
         smooth_levels: int = 2,
         dtype=None,
+        coeff_dtype=None,
     ) -> "GMGPC":
         """``grid``: the structured grid shape whose lexicographic
         flattening indexes ``a`` (e.g. (nx, ny) / (nx, ny, nz)).
+
+        ``coeff_dtype``: optional lower precision (e.g. ``jnp.bfloat16``)
+        for the STREAMED coefficient panels of large level operators —
+        halves the dominant HBM stream in the V-cycle. The level operators
+        stay symmetric (deterministic rounding of symmetric data), so the
+        V-cycle remains a fixed SPD-ish preconditioner; pair with
+        solvers/refine.py when TRUE f64 accuracy is required.
 
         ``smooth_levels``: how many (finest) levels use the Jacobi-smoothed
         prolongation; deeper levels use plain (unsmoothed) aggregation.
@@ -220,11 +228,16 @@ class GMGPC:
                 P = P0
             Ad = scipy_to_dia(A, max_offsets=max_offsets, dtype=dtype)
             asym = float(abs(A - A.T).max()) if A.nnz else 0.0
+            sym = asym <= 1e-12 * max(1.0, float(abs(A).max()))
+            if coeff_dtype is not None and Ad.data_blk is not None:
+                Ad = Ad.planned(blk_dtype=coeff_dtype)
             Adt = (
                 Ad
-                if asym <= 1e-12 * max(1.0, float(abs(A).max()))
+                if sym
                 else scipy_to_dia(A.T.tocsr(), max_offsets=max_offsets, dtype=dtype)
             )
+            if coeff_dtype is not None and Adt is not Ad and Adt.data_blk is not None:
+                Adt = Adt.planned(blk_dtype=coeff_dtype)
             levels.append(
                 GMGLevel(
                     A=Ad,

@@ -76,3 +76,17 @@ def test_planned_operator_roundtrip():
     y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
     y = dia_spmv_planned(A.data_blk, A.offsets, x, A.plan, interpret=True)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_planned_bf16_panels():
+    # bf16 coefficient panels: multiply promotes to x dtype; result within
+    # bf16 rounding of the exact product
+    n = 4_096
+    data, offs, x = _rand_case(n, (-64, -1, 0, 1, 64), seed=9)
+    dblk, plan = plan_dia(data, offs, blk_dtype=jnp.bfloat16)
+    assert dblk.dtype == jnp.bfloat16 and plan.block_rows % 16 == 0
+    y = dia_spmv_planned(jnp.asarray(dblk), offs, x, plan, interpret=True)
+    assert y.dtype == jnp.float32
+    y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(np.asarray(y) / scale, y_ref / scale, atol=3e-2)
