@@ -54,6 +54,15 @@ class DIAOperator:
     n: int = dataclasses.field(metadata=dict(static=True))
     data_blk: object = None  # Optional[Array], blocked-flat layout
     plan: object = dataclasses.field(default=None, metadata=dict(static=True))
+    # Transpose support (advisor round 2: rmatvec rebuilt A^T diagonals
+    # in-jit on every call and always took the XLA path — the ~79 GB/s
+    # cliff for beyond-VMEM qmr/cgnr/cgne). ``symmetric`` (detected at
+    # construction) makes rmatvec = matvec for free; ``at`` is an optional
+    # pre-planned transposed operator for nonsymmetric streaming.
+    at: object = None  # Optional["DIAOperator"]
+    symmetric: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -67,12 +76,24 @@ class DIAOperator:
         """Return a copy carrying the streaming-kernel layout.
 
         Call OUTSIDE jit (host-side data). No-op if already planned with
-        the requested precision. ``blk_dtype`` (e.g. ``jnp.bfloat16``)
+        the requested precision AND block size; ``blk_dtype=None`` means
+        the data's own dtype, so a bf16-planned operator can be re-planned
+        back to full precision. ``blk_dtype`` (e.g. ``jnp.bfloat16``)
         stores the streamed coefficient panels in lower precision —
         halves the dominant HBM stream; use only where an approximate
         operator is acceptable (PC internals, refined inner solves)."""
-        if self.data_blk is not None and (
-            blk_dtype is None or self.data_blk.dtype == blk_dtype
+        target = jnp.dtype(blk_dtype) if blk_dtype is not None else self.data.dtype
+        br = 0
+        if block_rows:
+            # mirror _plan_geometry/plan_dia rounding so a repeated call
+            # with the same raw block_rows is a no-op
+            br = -(-block_rows // 8) * 8
+            if target.itemsize < 4:
+                br = -(-br // 16) * 16
+        if (
+            self.data_blk is not None
+            and self.data_blk.dtype == target
+            and (br == 0 or self.plan.block_rows == br)
         ):
             return self
         from kryst_tpu.ops.streamed import plan_dia
@@ -81,7 +102,8 @@ class DIAOperator:
             np.asarray(self.data), self.offsets, block_rows, blk_dtype=blk_dtype
         )
         return DIAOperator(
-            self.data, self.offsets, self.n, jnp.asarray(dblk), plan
+            self.data, self.offsets, self.n, jnp.asarray(dblk), plan,
+            self.at, self.symmetric,
         )
 
     def _resident(self) -> bool:
@@ -122,6 +144,14 @@ class DIAOperator:
         return dia_spmv_streamed(self.data, self.offsets, x)
 
     def rmatvec(self, x: Array) -> Array:
+        if self.symmetric:
+            return self.matvec(x)  # A^T = A: full streaming path for free
+        if self.at is not None:
+            # pre-planned transpose (built at construction for beyond-VMEM
+            # nonsymmetric operators): streaming path instead of the in-jit
+            # re-layout + XLA cliff below
+            return self.at.matvec(x)
+        # Fallback (resident-size operators): build A^T diagonals in-jit.
         # A^T in DIA: diagonal d of A^T at offset -d, shifted by d:
         # A^T[i, i-d] = A[i-d, i] = data[d, i-d]
         n = self.n
@@ -177,9 +207,29 @@ class DIAOperator:
 
 register_dataclass(
     DIAOperator,
-    data_fields=["data", "data_blk"],
-    meta_fields=["offsets", "n", "plan"],
+    data_fields=["data", "data_blk", "at"],
+    meta_fields=["offsets", "n", "plan", "symmetric"],
 )
+
+
+def dia_transpose_host(
+    data: np.ndarray, offsets: Tuple[int, ...], n: int
+) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """Host-side transposed diagonals (ascending-offset order).
+
+    A^T's diagonal at offset ``ot`` is A's diagonal at ``-ot`` shifted:
+    ``At[j, i] = A[i+ot, i] = data[k, i+ot]`` where ``offsets[k] == -ot``.
+    """
+    offs_t = tuple(sorted(-o for o in offsets))
+    idx = {int(o): k for k, o in enumerate(offsets)}
+    out = np.zeros_like(data)
+    for j, ot in enumerate(offs_t):
+        k = idx[-ot]
+        if ot >= 0:
+            out[j, : n - ot] = data[k, ot:n]
+        else:
+            out[j, -ot:n] = data[k, : n + ot]
+    return out, offs_t
 
 
 def dia_spmv_xla(data: Array, offsets: Tuple[int, ...], x: Array) -> Array:
@@ -277,7 +327,7 @@ def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int 
 
 
 def csr_to_dia(
-    a: CSRMatrix, max_offsets: int = 512, dtype=None
+    a: CSRMatrix, max_offsets: int = 512, dtype=None, transpose="auto"
 ) -> DIAOperator:
     """Convert host CSR to DIA. Raises if the matrix has more than
     ``max_offsets`` distinct diagonals (DIA would waste too much memory)."""
@@ -298,10 +348,12 @@ def csr_to_dia(
     pos = {int(o): k for k, o in enumerate(offs)}
     for r, c, v in zip(A.row, A.col, A.data):
         data[pos[int(c - r)], r] += v
-    return _make_dia(data, tuple(int(o) for o in offs), n)
+    return _make_dia(data, tuple(int(o) for o in offs), n, transpose=transpose)
 
 
-def scipy_to_dia(A, max_offsets: int = 512, dtype=np.float32) -> DIAOperator:
+def scipy_to_dia(
+    A, max_offsets: int = 512, dtype=np.float32, transpose="auto"
+) -> DIAOperator:
     """scipy.sparse -> DIAOperator (row-major diagonal convention)."""
     import scipy.sparse as sp
 
@@ -317,19 +369,37 @@ def scipy_to_dia(A, max_offsets: int = 512, dtype=np.float32) -> DIAOperator:
         (np.array([pos[int(o)] for o in (coo.col - coo.row)]), coo.row),
         coo.data.astype(dtype),
     )
-    return _make_dia(data, tuple(int(o) for o in offs), n)
+    return _make_dia(data, tuple(int(o) for o in offs), n, transpose=transpose)
 
 
-def _make_dia(data: np.ndarray, offsets, n: int) -> DIAOperator:
+def _make_dia(data: np.ndarray, offsets, n: int, transpose="auto") -> DIAOperator:
     """Build the operator; attach the streaming-kernel layout eagerly when
     the working set is beyond the VMEM-residency threshold (the streaming
-    path is the hot path there, and the layout must be built outside jit)."""
+    path is the hot path there, and the layout must be built outside jit).
+
+    ``transpose``: "auto" detects symmetry (rmatvec = matvec, zero cost)
+    and, for NONSYMMETRIC operators on the streaming path, attaches a
+    pre-planned transposed operator so rmatvec (qmr/cgnr/cgne) also runs
+    at the roofline instead of the in-jit re-layout + XLA cliff. ``False``
+    skips both (saves the transient host copy); ``True`` forces the
+    transposed operator even at resident sizes."""
+    offsets = tuple(int(o) for o in offsets)
     op = DIAOperator(jnp.asarray(data), offsets, n)
-    if (not op._resident() or len(offsets) > 8) and data.dtype.itemsize < 8:
+    streaming = (not op._resident() or len(offsets) > 8) and data.dtype.itemsize < 8
+    symmetric = False
+    at = None
+    if transpose == "auto" or transpose is True:
+        data_t, offs_t = dia_transpose_host(np.asarray(data), offsets, n)
+        symmetric = offs_t == offsets and np.array_equal(data_t, np.asarray(data))
+        if not symmetric and (streaming or transpose is True):
+            at = _make_dia(data_t, offs_t, n, transpose=False)
+    if streaming:
         # (f64 never uses the streamed kernel -- see matvec -- so don't
         # spend 2x memory on a layout it can't use)
         from kryst_tpu.ops.streamed import plan_dia
 
         dblk, plan = plan_dia(data, offsets)
-        op = DIAOperator(op.data, offsets, n, jnp.asarray(dblk), plan)
-    return op
+        return DIAOperator(
+            op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric
+        )
+    return DIAOperator(op.data, offsets, n, None, None, at, symmetric)

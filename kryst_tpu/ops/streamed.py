@@ -76,6 +76,9 @@ class DIAPlan(NamedTuple):
 
 def _plan_geometry(n: int, offsets, block_rows: int) -> DIAPlan:
     m = -(-n // 128)
+    # f32 sublane tile is 8 rows: i0 = i*bm and the block shapes must stay
+    # multiples of 8 or Mosaic block specs misalign (advisor round 2).
+    block_rows = -(-block_rows // 8) * 8
     block_rows = min(block_rows, -(-m // 8) * 8)  # don't pad small ops 4x
     mpad = -(-m // block_rows) * block_rows
     qs = [divmod(off, 128)[0] for off in offsets]

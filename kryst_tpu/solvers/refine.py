@@ -61,6 +61,21 @@ def refine_device(
 
     Returns ``(x_f64, RefineStats)``.
     """
+    # Fail fast when f64 is unavailable: without jax_enable_x64 the casts
+    # below silently produce f32, and RefineStats would then certify
+    # "TRUE f64" residuals that were evaluated at the f32 eps*kappa floor
+    # (converged=True at tolerances f32 cannot verify).
+    if jnp.zeros((), jnp.float64).dtype != jnp.float64:
+        raise RuntimeError(
+            "refine_device requires jax_enable_x64: the outer residual is "
+            'computed in f64. Call jax.config.update("jax_enable_x64", True) '
+            "before building operators."
+        )
+    if hasattr(A64, "dtype") and jnp.dtype(A64.dtype).itemsize < 8:
+        raise ValueError(
+            f"refine_device needs an f64 operator (got {A64.dtype}); build "
+            "it with e.g. csr_to_dia(a, dtype=np.float64)"
+        )
     b = jnp.asarray(b, jnp.float64)
     bnorm = jnp.linalg.norm(b)
     bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)

@@ -1,0 +1,101 @@
+"""Regression tests for the round-2 advisor findings (ADVICE.md).
+
+1. refine_device fails fast instead of silently certifying f32 residuals.
+2. DIAOperator.planned() honors block_rows and blk_dtype=None re-planning.
+3. _plan_geometry rounds caller block_rows to the 8-row sublane tile.
+4. rmatvec uses symmetry / a pre-planned transpose instead of an in-jit
+   re-layout on the XLA cliff path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from kryst_tpu.matrix import gallery
+from kryst_tpu.ops.dia import (
+    DIAOperator,
+    csr_to_dia,
+    dia_transpose_host,
+    scipy_to_dia,
+)
+from kryst_tpu.ops.streamed import _plan_geometry
+
+
+def test_refine_device_rejects_low_precision_operator():
+    from kryst_tpu.solvers.refine import refine_device
+
+    a = gallery.poisson_2d(8)
+    A32 = csr_to_dia(a, dtype=np.float32)
+    b = jnp.ones(64)
+    with pytest.raises(ValueError, match="f64 operator"):
+        refine_device(A32, b, lambda r: (r, None))
+
+
+def test_planned_respects_block_rows_and_replan_to_full_precision():
+    d = np.random.default_rng(0).random((3, 5000)).astype(np.float32)
+    base = DIAOperator(jnp.asarray(d), (-1, 0, 1), 5000)
+    p8 = base.planned(block_rows=8)
+    assert p8.planned(block_rows=8) is p8  # no-op: same size
+    p16 = p8.planned(block_rows=16)
+    assert p16 is not p8 and p16.plan.block_rows == 16
+    pb = p16.planned(blk_dtype=jnp.bfloat16)
+    assert pb.data_blk.dtype == jnp.bfloat16
+    pf = pb.planned()  # blk_dtype=None = data dtype: back to full precision
+    assert pf.data_blk.dtype == jnp.float32
+
+
+def test_plan_geometry_rounds_block_rows_to_sublane_tile():
+    plan = _plan_geometry(1_000_000, (-100, 0, 100), 100)
+    assert plan.block_rows % 8 == 0 and plan.block_rows >= 100
+    assert plan.mpad % plan.block_rows == 0
+
+
+def test_dia_transpose_host_matches_scipy():
+    rng = np.random.default_rng(1)
+    n = 300
+    A = sp.diags(
+        [rng.standard_normal(n - 5), rng.standard_normal(n),
+         rng.standard_normal(n - 2)],
+        [-5, 0, 2], format="csr",
+    )
+    op = scipy_to_dia(A, dtype=np.float64)
+    data_t, offs_t = dia_transpose_host(
+        np.asarray(op.data), op.offsets, n
+    )
+    opt = DIAOperator(jnp.asarray(data_t), offs_t, n)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(opt.matvec(jnp.asarray(x))), A.T @ x, atol=1e-12
+    )
+
+
+def test_symmetric_detection_makes_rmatvec_matvec():
+    op = csr_to_dia(gallery.poisson_2d(16), dtype=np.float64)
+    assert op.symmetric
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(256))
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(x)), np.asarray(op.matvec(x)), atol=0
+    )
+
+
+def test_nonsymmetric_forced_transpose_rmatvec_parity():
+    rng = np.random.default_rng(3)
+    n = 400
+    A = sp.diags(
+        [rng.standard_normal(n - 3), 4 + rng.random(n),
+         rng.standard_normal(n - 1)],
+        [-3, 0, 1], format="csr",
+    )
+    op = scipy_to_dia(A, dtype=np.float64, transpose=True)
+    assert not op.symmetric and op.at is not None
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(jnp.asarray(x))), A.T @ x, atol=1e-12
+    )
+    # pytree roundtrip keeps the cached transpose
+    leaves, tree = jax.tree_util.tree_flatten(op)
+    op2 = jax.tree_util.tree_unflatten(tree, leaves)
+    np.testing.assert_allclose(
+        np.asarray(op2.rmatvec(jnp.asarray(x))), A.T @ x, atol=1e-12
+    )
