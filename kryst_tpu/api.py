@@ -307,6 +307,34 @@ def _resolve_pc(pc, a_host, A_device, dtype):
     raise TypeError(f"cannot interpret preconditioner: {pc!r}")
 
 
+def _f64_operator(A, a_host):
+    """Best-effort f64 version of the operator for refinement outer loops.
+
+    Prefers rebuilding from the host CSR (exact); otherwise casts every
+    float leaf of the operator pytree to f64 (valid for DIA/ELL/Dense/
+    stencil operators — matvec dispatch routes f64 through the XLA path).
+    Returns None when no f64 operator can be certified.
+    """
+    import jax
+
+    if a_host is not None:
+        try:
+            from kryst_tpu.ops.dia import csr_to_dia
+
+            return csr_to_dia(a_host, dtype=jnp.float64)
+        except ValueError:
+            return a_host.to_ell(dtype=jnp.float64)
+    A64 = jax.tree_util.tree_map(
+        lambda l: l.astype(jnp.float64)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        else l,
+        A,
+    )
+    if jnp.dtype(getattr(A64, "dtype", jnp.float32)).itemsize < 8:
+        return None  # e.g. FunctionOperator: residual precision unknowable
+    return A64
+
+
 def solve(
     A,
     b,
@@ -318,6 +346,7 @@ def solve(
     tol: float = 1e-8,
     maxiter: Optional[int] = None,
     restart: int = 30,
+    refine: Any = "auto",
     **options,
 ):
     """One-call functional entry point (the ``solve_context`` analogue,
@@ -326,12 +355,28 @@ def solve(
     ``A`` may be a device operator/array; ``a_host`` optionally carries the
     host CSR for setup-heavy PCs. ``pc`` is None, a state with ``.apply``,
     a :class:`PCConfig`, or a string alias.
+
+    ``refine``: policy at the low-precision true-residual floor. An f32
+    solve cannot certify relative residuals below ~eps*kappa (measured
+    ~5e-4 on 1M-dof Poisson); when the requested ``tol`` is missed for
+    that reason and f64 is available, ``"auto"`` (default) wraps the same
+    solver/PC in device-side mixed-precision iterative refinement
+    (:func:`kryst_tpu.solvers.refine.refine_device`) and returns an
+    f64-accurate solution with ``stats.refined=True``; ``False`` keeps the
+    plain result but emits a loud ``FloatingPointError``-category warning
+    instead of a silent ``reached_tol=False``. No effect on f64 inputs,
+    direct solves, or when ``solve`` is called under ``jax.jit`` (stats
+    are traced; use refine_device explicitly there).
     """
     kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
+    b = jnp.asarray(b)
+    dtype = b.dtype
     if isinstance(A, CSRMatrix):
         a_host = A
         # device-format selection: DIA when the diagonal structure allows
-        # (gather-free SpMV — the TPU fast path), ELL otherwise
+        # (gather-free SpMV — the TPU fast path), ELL otherwise. The device
+        # operator follows b's dtype (an f64-assembled host matrix with an
+        # f32 rhs previously produced a dtype-mismatched solver carry).
         try:
             from kryst_tpu.ops.dia import csr_to_dia
 
@@ -340,12 +385,10 @@ def solve(
             # AMGPC.setup — a 1M-row matrix with ~400 scattered diagonals
             # would otherwise allocate GBs of mostly-zero planes
             budget = max(32, 64_000_000 // max(A.shape[0], 1))
-            A = csr_to_dia(A, max_offsets=min(512, budget))
+            A = csr_to_dia(A, max_offsets=min(512, budget), dtype=dtype)
         except ValueError:
-            A = A.to_ell()
+            A = A.to_ell(dtype=dtype)
     A = as_operator(A)
-    b = jnp.asarray(b)
-    dtype = b.dtype
 
     # solvers that take no preconditioner: a supplied pc would be silently
     # dropped (and its setup wasted), so refuse loudly. The reference's
@@ -392,47 +435,150 @@ def solve(
     if kind not in _no_pc:
         M = _resolve_pc(pc, a_host, A, dtype)
 
-    if kind == SolverKind.CG:
-        return cg(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.PCG:
-        return pcg(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
-    if kind in (SolverKind.GMRES_LEFT, SolverKind.GMRES_RIGHT):
-        side = "left" if kind == SolverKind.GMRES_LEFT else "right"
-        return gmres(
-            A, b, x0, M=M, side=side, tol=tol, maxiter=mi, restart=restart,
-            **options,
-        )
-    if kind == SolverKind.FGMRES:
-        return fgmres(A, b, x0, M=M, tol=tol, maxiter=mi, restart=restart, **options)
-    if kind == SolverKind.BICGSTAB:
-        return bicgstab(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.CGS:
-        return cgs(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.QMR:
-        return qmr(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.TFQMR:
-        return tfqmr(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.MINRES:
-        return minres(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.CGNR:
-        return cgnr(A, b, x0, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.CGNE:
-        return cgne(A, b, x0, tol=tol, maxiter=mi, **options)
     if kind == SolverKind.LU:
         return lu_solve(A, b)
     if kind == SolverKind.QR:
         return qr_solve(A, b)
-    if kind == SolverKind.PIPECG:
-        from kryst_tpu.solvers.pipelined import pipecg
 
-        return pipecg(A, b, x0, M=M, tol=tol, maxiter=mi, **options)
-    if kind == SolverKind.CA_GMRES:
-        from kryst_tpu.solvers.ca_gmres import ca_gmres
+    def _dispatch(Aop, rhs, x0_, tol_, mi_):
+        if kind == SolverKind.CG:
+            return cg(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.PCG:
+            return pcg(Aop, rhs, x0_, M=M, tol=tol_, maxiter=mi_, **options)
+        if kind in (SolverKind.GMRES_LEFT, SolverKind.GMRES_RIGHT):
+            side = "left" if kind == SolverKind.GMRES_LEFT else "right"
+            return gmres(
+                Aop, rhs, x0_, M=M, side=side, tol=tol_, maxiter=mi_,
+                restart=restart, **options,
+            )
+        if kind == SolverKind.FGMRES:
+            return fgmres(
+                Aop, rhs, x0_, M=M, tol=tol_, maxiter=mi_, restart=restart,
+                **options,
+            )
+        if kind == SolverKind.BICGSTAB:
+            return bicgstab(Aop, rhs, x0_, M=M, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.CGS:
+            return cgs(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.QMR:
+            return qmr(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.TFQMR:
+            return tfqmr(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.MINRES:
+            return minres(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.CGNR:
+            return cgnr(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.CGNE:
+            return cgne(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.PIPECG:
+            from kryst_tpu.solvers.pipelined import pipecg
 
-        return ca_gmres(
-            A, b, x0, M=M, tol=tol, maxiter=mi, restart=restart, **options
+            return pipecg(Aop, rhs, x0_, M=M, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.CA_GMRES:
+            from kryst_tpu.solvers.ca_gmres import ca_gmres
+
+            return ca_gmres(
+                Aop, rhs, x0_, M=M, tol=tol_, maxiter=mi_, restart=restart,
+                **options,
+            )
+        raise ValueError(f"unhandled solver kind: {kind}")
+
+    x, stats = _dispatch(A, b, x0, tol, mi)
+    x, stats = _floor_policy(
+        x, stats, _dispatch, A, b, x0, a_host, kind, tol, mi, refine, options
+    )
+    return x, stats
+
+
+def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
+                  refine, options):
+    """Post-solve handling of the low-precision true-residual floor.
+
+    VERDICT r2 item 7: ``solve(tol=1e-8)`` in f32 must never return a
+    silent ``reached_tol=False`` at the eps*kappa floor — auto-refine when
+    f64 is available (default), otherwise warn loudly.
+    """
+    import warnings
+
+    import jax
+
+    if not hasattr(stats, "reached_tol"):
+        return x, stats
+    if isinstance(stats.rel_residual, jax.core.Tracer):
+        return x, stats  # under jit: stats are traced, cannot branch
+    if jnp.dtype(b.dtype).itemsize >= 8 or tol >= 1e-6:
+        return x, stats  # f64 solve, or tol certifiable in f32
+    if str(options.get("norm", "")).lower() == "none":
+        return x, stats  # user asked for a fixed-iteration run
+    from kryst_tpu.core.convergence import Breakdown
+
+    rel = float(stats.rel_residual)
+    if bool(stats.reached_tol) or rel <= tol:
+        return x, stats
+    if int(stats.breakdown) not in (int(Breakdown.NONE), int(Breakdown.HAPPY)):
+        return x, stats  # genuine breakdown: refinement will not help
+    if rel > 1e-2:
+        return x, stats  # did not even reach the floor: not a precision miss
+    if refine is False:
+        warnings.warn(
+            f"solve(tol={tol:g}) stalled at the f32 true-residual floor "
+            f"(rel_residual={rel:.2e}, reached_tol=False); refine='auto' "
+            "would recover it via mixed-precision refinement",
+            category=RuntimeWarning,
+            stacklevel=3,
         )
-    raise ValueError(f"unhandled solver kind: {kind}")
+        return x, stats
+    f64_ok = jnp.zeros((), jnp.float64).dtype == jnp.float64
+    A64 = _f64_operator(A, a_host) if f64_ok else None
+    if A64 is None:
+        warnings.warn(
+            f"solve(tol={tol:g}) stalled at the f32 true-residual floor "
+            f"(rel_residual={rel:.2e}): f32 cannot certify tolerances below "
+            "~eps*kappa. Enable jax_enable_x64 (or pass refine='auto' with a "
+            "host CSR / castable operator) for mixed-precision refinement, "
+            "or accept reached_tol=False.",
+            category=RuntimeWarning,
+            stacklevel=3,
+        )
+        return x, stats
+    from kryst_tpu.solvers.refine import refine_device
+
+    inner_tol = 1e-5  # loose: each outer pass multiplies the true residual
+    # by roughly the inner TRUE reduction (~the floor itself), so 2-3
+    # passes reach 1e-8 from a 5e-4 floor (measured, bench.py)
+
+    def inner(r32):
+        return dispatch(A, r32, None, inner_tol, mi)
+
+    def run(b_dev, x0_dev):
+        b64 = jnp.asarray(b_dev, jnp.float64)
+        if x0_dev is not None:
+            x064 = jnp.asarray(x0_dev, jnp.float64)
+            d, rst = refine_device(A64, b64 - A64.matvec(x064), inner, tol=tol)
+            return x064 + d, rst
+        return refine_device(A64, b64, inner, tol=tol)
+
+    import functools
+
+    xr, rst = jax.jit(functools.partial(run, x0_dev=x0))(b)
+    bnorm64 = jnp.linalg.norm(jnp.asarray(b, jnp.float64))
+    stats = stats._replace(
+        iterations=rst.inner_iterations,
+        final_residual=rst.rel_residual * bnorm64,
+        rel_residual=rst.rel_residual,
+        reached_tol=rst.converged,
+        converged=rst.converged | stats.converged,
+        refined=jnp.asarray(True),
+    )
+    if not bool(rst.converged):
+        warnings.warn(
+            f"mixed-precision refinement did not reach tol={tol:g} "
+            f"(rel={float(rst.rel_residual):.2e} after "
+            f"{int(rst.outer_iterations)} outer passes)",
+            category=RuntimeWarning,
+            stacklevel=3,
+        )
+    return xr, stats
 
 
 @dataclasses.dataclass

@@ -64,6 +64,9 @@ class SolveStats(NamedTuple):
     reached_tol: Array  # bool: honest flag — tolerance actually reached
     breakdown: Array  # int32: Breakdown code
     residual_history: Optional[Array] = None
+    #: set by solve(refine="auto") when the result came from mixed-precision
+    #: refinement (the rel_residual is then a TRUE f64 residual)
+    refined: Optional[Array] = None
 
 
 def make_stats(
