@@ -1,23 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: BASELINE headline config — 3-D Poisson 1M dof, time-to-tolerance.
+"""Benchmark: one JSON line per BASELINE config (VERDICT r2 item 5).
 
-Prints ONE JSON line:
+Emits several lines of the form
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+with the HEADLINE (config 4, 1M-dof refined TRUE rtol<=1e-8) printed
+LAST, so drivers that keep only the final line still record the headline.
 
-vs_baseline is measured against the BASELINE.md target of 1.0 s for the
-1M-dof solve on one v5e chip (>1.0 = faster than target). Secondary
-diagnostics go to stderr.
+vs_baseline conventions (BASELINE.md):
+- configs with a time target (4): target_seconds / value  (>1 = faster).
+- configs whose BASELINE target is iteration parity (1): oracle_iters /
+  iters (1.0 = parity).
+- kernel-bound metrics (8M GMRES/BiCGStab per-iteration): traffic-bound
+  estimate / measured (1.0 = at the HBM roofline).
 
-Timing methodology (round-2 correction): every host<->device exchange
-through the axon relay costs ~29 ms RTT, and fetching a full vector
-costs ~15 ms per 36 MB — round-1 numbers that amortized too few
-in-loop iterations against full-array fetches were measuring the relay,
-not the chip (and understated kernel speed by up to 40x). Here:
-- per-iteration costs come from ITERATION-COUNT SLOPES between two runs
-  inside single jit calls (RTT cancels exactly);
-- syncs fetch only device-side scalars (jnp.sum / stats fields);
-- wall-clock headline numbers are min-of-3 and, being single jit calls,
-  include one RTT (~29 ms) — reported as-is, honestly.
+Timing methodology (round-2 correction, see CLAUDE.md): per-iteration
+costs from ITERATION-COUNT SLOPES inside single jit calls (the ~29 ms
+relay RTT cancels); syncs fetch scalars only; wall numbers are min-of-3
+single-jit calls and include one RTT, reported as-is.
 """
 from __future__ import annotations
 
@@ -30,15 +29,29 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 5),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # f64 = emulated on TPU; the
-    # refined headline runs its outer loop on device in f64 (solvers/refine.py)
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
+    import scipy.sparse as sp
     from jax import lax
 
     from kryst_tpu import JacobiPC, pcg
@@ -46,134 +59,172 @@ def main():
     from kryst_tpu.ops.dia import csr_to_dia
 
     on_cpu = jax.default_backend() == "cpu"
-    n3 = 100 if not on_cpu else 32  # 1M dof on TPU
+    log(f"backend: {jax.default_backend()}")
+
+    def sync(v):
+        return float(v)
+
+    def min_wall(fn, reps=3):
+        fn()  # compile
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    def slope(make, lo, hi, reps=3):
+        ts = {}
+        for it in (lo, hi):
+            f = make(it)
+            sync(f())
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.time()
+                sync(f())
+                best = min(best, time.time() - t0)
+            ts[it] = best
+        return (ts[hi] - ts[lo]) / (hi - lo)
+
+    # ---------------- config 1: PCG+Jacobi, 2-D Poisson 128^2 ----------
+    try:
+        a1 = gallery.poisson_2d(128)
+        A1 = csr_to_dia(a1, dtype=np.float32)
+        b1 = jnp.ones(128 * 128, jnp.float32)
+        M1 = JacobiPC.setup(A1)
+        f1 = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=1e-8, maxiter=2000))
+        x1, s1 = f1(A1, b1, M1)
+        iters1 = int(s1.iterations)
+        from kryst_tpu.oracle.np_ref import np_pcg
+
+        d1 = np.asarray(
+            sp.csr_matrix((a1.data, a1.indices, a1.indptr), shape=a1.shape).diagonal()
+        )
+        _, oracle1, _h = np_pcg(
+            sp.csr_matrix((a1.data, a1.indices, a1.indptr), shape=a1.shape),
+            np.ones(128 * 128), lambda r: r / d1, tol=1e-8, maxiter=2000,
+        )
+        log(f"config1: pcg+jacobi 128^2 iters={iters1} oracle={oracle1}")
+        emit("config1_poisson2d_128_pcg_jacobi_iters", iters1, "iterations",
+             oracle1 / max(iters1, 1))
+    except Exception as e:
+        log(f"config1 failed: {type(e).__name__}: {e}")
+
+    # ------- config 2: GMRES(30)+exact ILU(0), conv-diff 256^2 ---------
+    try:
+        from kryst_tpu.pc.diagmajor import DiagMajorILU2D
+        from kryst_tpu.solvers.gmres import gmres
+        from kryst_tpu.solvers.refine import refine_device
+
+        a2 = gallery.convection_diffusion_2d(256, beta=10.0)
+        A2 = csr_to_dia(a2, dtype=np.float32)
+        A2_64 = csr_to_dia(a2, dtype=np.float64)
+        pc2 = DiagMajorILU2D.setup(a2, (256, 256), dtype=np.float32)
+        b2 = jnp.ones(256 * 256, jnp.float32)
+
+        dt2 = slope(
+            lambda it: (
+                lambda f=jax.jit(
+                    lambda A, b, M, it=it: gmres(
+                        A, b, M=M, side="right", tol=0.0, maxiter=it, restart=30
+                    )[1].iterations
+                ): f(A2, b2, pc2)
+            ),
+            60, 180, reps=2,
+        )
+        log(f"config2: GMRES(30)+diagmajor-ILU0 256^2: {dt2*1e6:.1f} us/iter")
+
+        inner2 = lambda r: gmres(
+            A2, r, M=pc2, side="right", tol=1e-5, maxiter=400, restart=30
+        )
+        ref2 = jax.jit(
+            lambda b64: refine_device(A2_64, b64, inner2, tol=1e-8, max_outer=6)
+        )
+        b2_64 = jnp.ones(256 * 256)
+        t2 = min_wall(lambda: sync(ref2(b2_64)[1].outer_iterations))
+        xr2, st2 = ref2(b2_64)
+        a2_sp = sp.csr_matrix(
+            (a2.data.astype(np.float64), a2.indices, a2.indptr), shape=a2.shape
+        )
+        host_rel2 = float(
+            np.linalg.norm(np.ones(256 * 256) - a2_sp @ np.asarray(xr2))
+            / np.linalg.norm(np.ones(256 * 256))
+        )
+        log(f"config2 refined TRUE<=1e-8: {t2*1e3:.0f} ms (host_rel {host_rel2:.2e})")
+        if host_rel2 <= 1e-8:
+            emit("config2_convdiff256_gmres30_ilu0_refined_TRUE_rtol1e-8",
+                 t2, "s", 1.0 / t2)
+        emit("config2_gmres30_ilu0_per_iteration", dt2 * 1e6, "us", 1.0)
+    except Exception as e:
+        log(f"config2 failed: {type(e).__name__}: {e}")
+
+    # ------- config 3: proxies (bcsstk/thermal/atmosmodd-like) ---------
+    try:
+        from kryst_tpu.pc.chebyshev import ChebyshevPC
+        from kryst_tpu.pc.sor import SORPC, SweepType, ssor
+        from kryst_tpu.solvers.bicgstab import bicgstab
+
+        t3_total = 0.0
+        a3 = gallery.bcsstk_like(48)
+        A3 = a3.to_dense_operator(dtype=jnp.float32)
+        pc3 = ChebyshevPC.setup(A3, degree=12)  # Lanczos auto-bounds
+        b3 = jnp.ones(a3.shape[0], jnp.float32)
+        f3 = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=1e-6, maxiter=2000))
+        t3_total += min_wall(lambda: sync(f3(A3, b3, pc3)[1].iterations))
+
+        a3b = gallery.thermal_like(24)
+        A3b = csr_to_dia(a3b, dtype=np.float32)
+        pc3b = ssor(a3b, omega=1.3, dtype=np.float32)
+        b3b = jnp.ones(576, jnp.float32)
+        f3b = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=1e-6, maxiter=1000))
+        t3_total += min_wall(lambda: sync(f3b(A3b, b3b, pc3b)[1].iterations))
+
+        a3c = gallery.atmosmodd_like(10)
+        A3c = a3c.to_ell(dtype=jnp.float32)
+        pc3c = SORPC.setup(a3c, omega=1.0, sweep=SweepType.FORWARD, dtype=np.float32)
+        b3c = jnp.ones(1000, jnp.float32)
+        f3c = jax.jit(lambda A, b, M: bicgstab(A, b, M=M, tol=1e-6, maxiter=500))
+        t3_total += min_wall(lambda: sync(f3c(A3c, b3c, pc3c)[1].iterations))
+        log(f"config3 proxies (minres/cheb + pcg/ssor + bicgstab/sor): {t3_total*1e3:.0f} ms total")
+        emit("config3_proxy_suite_total_wall", t3_total, "s", 1.0 / t3_total)
+    except Exception as e:
+        log(f"config3 failed: {type(e).__name__}: {e}")
+
+    # ------------- config 4 (+ kernels): 3-D Poisson 1M ----------------
+    n3 = 100 if not on_cpu else 32
     n = n3 ** 3
-    log(f"backend: {jax.default_backend()}, assembling 3-D Poisson {n3}^3...")
     t0 = time.time()
     a = gallery.poisson_3d(n3)
     A = csr_to_dia(a, dtype=np.float32)
     b = jnp.ones(n, dtype=jnp.float32)
     M = JacobiPC.setup(A)
-    log(f"setup {time.time()-t0:.1f}s")
+    log(f"config4 setup ({n3}^3): {time.time()-t0:.1f}s")
 
-    def slope(f, arg, lo, hi, reps=3):
-        """Per-iteration time from the iteration-count slope (RTT cancels)."""
-        ts = {}
-        for it in (lo, hi):
-            loop = jax.jit(
-                lambda v, it=it: jnp.sum(
-                    lax.fori_loop(0, it, lambda i, u: f(u), v)
-                )
-            )
-            _ = float(loop(arg))
-            best = 1e9
-            for _r in range(reps):
-                t1 = time.time()
-                _ = float(loop(arg))
-                best = min(best, time.time() - t1)
-            ts[it] = best
-        return (ts[hi] - ts[lo]) / (hi - lo)
-
-    # --- HBM roofline calibration: non-foldable scale over a 512 MB
-    # buffer. MUST be far beyond VMEM (128 MB): a 64 MB loop-carried array
-    # stays VMEM-resident and reads 5+ TB/s — that is the VMEM roofline,
-    # not HBM's (~650 GB/s measured here).
-    sz = 128_000_000 if not on_cpu else 1_000_000
-    big = jnp.asarray(
-        np.random.default_rng(7).standard_normal(sz).astype(np.float32)
-    )
-    dt = slope(lambda u: u + 0.001 * jnp.abs(u), big, 20, 100)
-    roofline = sz * 8 / dt
-    log(f"HBM roofline (512MB scale): {roofline/1e9:.0f} GB/s")
-
-    # --- DIA SpMV + PCG iteration cost at 1M dof ------------------------
     x0 = jnp.asarray(np.random.default_rng(3).standard_normal(n).astype(np.float32))
+    dt = slope(
+        lambda it: (
+            lambda f=jax.jit(
+                lambda v, it=it: jnp.sum(
+                    lax.fori_loop(0, it, lambda i, u: A.matvec(u) / 6.0, v)
+                )
+            ): f(x0)
+        ),
+        100, 700,
+    )
     traffic = (A.data.size + 2 * n) * 4
-    dt = slope(lambda u: A.matvec(u) / 6.0, x0, 100, 700)
-    spmv_gbps = traffic / dt / 1e9
-    log(
-        f"DIA SpMV 1M: {dt*1e6:.1f} us -> {spmv_gbps:.0f} GB/s effective "
-        f"({100*spmv_gbps*1e9/roofline:.0f}% of HBM roofline; >100% = "
-        "VMEM-resident working set, the design point at this size; the "
-        "beyond-VMEM streaming kernel measures 775 GB/s at 8M dof)"
-    )
+    log(f"DIA SpMV 1M: {dt*1e6:.1f} us -> {traffic/dt/1e9:.0f} GB/s effective")
 
-    def pcg_iter_time(lo, hi):
-        ts = {}
-        for it in (lo, hi):
-            f = jax.jit(
-                lambda bb, it=it: pcg(
-                    A, bb, M=M, tol=0.0, maxiter=it, true_residual=False
-                )[1].iterations
-            )
-            _ = float(f(b))
-            best = 1e9
-            for _r in range(3):
-                t1 = time.time()
-                _ = float(f(b))
-                best = min(best, time.time() - t1)
-            ts[it] = best
-        return (ts[hi] - ts[lo]) / (hi - lo)
-
-    dt_it = pcg_iter_time(100, 700)
-    log(f"PCG+Jacobi 1M: {dt_it*1e6:.1f} us/iteration (maxiter slope)")
-
-    # --- converged PCG+Jacobi solve, honest wall (single jit call) ------
-    tol = 1e-8
-    solve = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=tol, maxiter=3000))
-    x, st = solve(A, b, M)
-    _ = float(st.iterations)
-    t_solve = 1e9
-    for _r in range(3):
-        t0 = time.time()
-        x, st = solve(A, b, M)
-        _ = float(st.iterations)
-        t_solve = min(t_solve, time.time() - t0)
-    r = b - A.matvec(x)
-    true_rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
-    log(
-        f"PCG+Jacobi 1M converged: {t_solve*1e3:.0f} ms wall (incl ~29 ms "
-        f"RTT), iters={int(st.iterations)}, reached_tol={bool(st.reached_tol)}, "
-        f"rel={float(st.rel_residual):.2e}, true_rel={true_rel:.2e}"
-    )
-
-    t_best = t_solve
     size_tag = "1M" if n3 == 100 else f"{n3}cubed"
-    metric = f"poisson3d_{size_tag}_pcg_jacobi_time_to_rtol1e-8_f32"
     t_refined = None
     try:
         from kryst_tpu.pc.gmg import GMGPC
+        from kryst_tpu.solvers.refine import refine_device
 
         t0 = time.time()
         pc = GMGPC.setup(a, grid=(n3, n3, n3), nu_pre=2, nu_post=2, dtype=np.float32)
         log(f"GMG setup: {time.time()-t0:.1f}s")
-        gsolve = jax.jit(lambda A, b, pc: pcg(A, b, M=pc, tol=tol, maxiter=100))
-        xg, sg = gsolve(A, b, pc)
-        _ = float(sg.iterations)
-        t_gmg = 1e9
-        for _r in range(3):
-            t0 = time.time()
-            xg, sg = gsolve(A, b, pc)
-            _ = float(sg.iterations)
-            t_gmg = min(t_gmg, time.time() - t0)
-        log(
-            f"PCG+GMG 1M: {t_gmg*1e3:.0f} ms wall, iters={int(sg.iterations)}, "
-            f"reached_tol={bool(sg.reached_tol)}"
-        )
-        if bool(sg.reached_tol) and t_gmg < t_best:
-            t_best = t_gmg
-            metric = f"poisson3d_{size_tag}_pcg_multigrid_time_to_rtol1e-8_f32"
-
-        # headline: mixed-precision refinement — TRUE f64 residual <= 1e-8
-        # at f32 speed. Outer loop ON DEVICE (solvers/refine.py::refine_device):
-        # the host-looped version pays ~29 ms relay RTT + vector transfers per
-        # outer pass (measured 1.3 s vs ~0.12 s at 1M dof).
-        from kryst_tpu.solvers.refine import refine_device
-
         A64 = csr_to_dia(a, dtype=np.float64)
         b64 = jnp.asarray(np.ones(n))
-        import scipy.sparse as sp
-
         a_sp = sp.csr_matrix(
             (a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape
         )
@@ -182,21 +233,14 @@ def main():
             solve_r = jax.jit(
                 lambda bb: refine_device(A64, bb, inner, tol=1e-8, max_outer=6)
             )
+            best = min_wall(lambda: sync(solve_r(b64)[1].outer_iterations))
             xr, st = solve_r(b64)
-            _ = float(st.outer_iterations)
-            best = 1e9
-            for _rep in range(3):
-                t1 = time.time()
-                xr, st = solve_r(b64)
-                _ = float(st.outer_iterations)
-                best = min(best, time.time() - t1)
-            # independent host verification of the TRUE residual
-            rr = np.asarray(b64, np.float64) - a_sp @ np.asarray(xr, np.float64)
+            rr = np.asarray(b64) - a_sp @ np.asarray(xr)
             host_rel = float(np.linalg.norm(rr) / np.linalg.norm(np.asarray(b64)))
             log(
-                f"refined[{label}] (TRUE rtol<=1e-8) 1M: {best*1e3:.0f} ms, "
+                f"refined[{label}] {size_tag}: {best*1e3:.0f} ms, "
                 f"outer={int(st.outer_iterations)}, inner={int(st.inner_iterations)}, "
-                f"dev_rel={float(st.rel_residual):.2e}, host_rel={host_rel:.2e}"
+                f"host_rel={host_rel:.2e}"
             )
             return best if host_rel <= 1e-8 else None
 
@@ -205,15 +249,13 @@ def main():
                 cands = []
                 tj = refined_wall(
                     lambda rhs: pcg(A, rhs, M=M, tol=1e-5, maxiter=800,
-                                    true_residual=False),
-                    "jacobi",
+                                    true_residual=False), "jacobi",
                 )
                 if tj:
                     cands.append(tj)
                 tg = refined_wall(
                     lambda rhs: pcg(A, rhs, M=pc, tol=1e-5, maxiter=40,
-                                    true_residual=False),
-                    "gmg",
+                                    true_residual=False), "gmg",
                 )
                 if tg:
                     cands.append(tg)
@@ -223,22 +265,118 @@ def main():
                 t_refined = None
                 log(f"refined attempt {attempt}: {type(e).__name__}: {e}")
                 time.sleep(5)
-    except Exception as e:  # diagnostics only — never break the bench
-        log(f"GMG bench skipped: {type(e).__name__}: {e}")
+    except Exception as e:
+        log(f"GMG/refined bench failed: {type(e).__name__}: {e}")
 
-    if t_refined is not None:
-        metric = f"poisson3d_{size_tag}_refined_TRUE_rtol1e-8"
-        t_best = t_refined
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(t_best, 4),
-                "unit": "s",
-                "vs_baseline": round(1.0 / t_best, 3) if t_best > 0 else 0.0,
-            }
+    # ------------- config 4 at 8M + beyond-VMEM kernel metrics ---------
+    if not on_cpu:
+        try:
+            from kryst_tpu.pc.gmg import GMGPC
+            from kryst_tpu.solvers.bicgstab import bicgstab
+            from kryst_tpu.solvers.gmres import gmres
+            from kryst_tpu.solvers.refine import refine_device
+
+            t0 = time.time()
+            a8 = gallery.poisson_3d(200)
+            n8 = 200 ** 3
+            A8 = csr_to_dia(a8, dtype=np.float32)
+            b8 = jnp.ones(n8, jnp.float32)
+            log(f"8M setup: {time.time()-t0:.0f}s (host assembly dominates)")
+
+            # beyond-VMEM GMRES(30)/BiCGStab per-iteration (VERDICT item 1)
+            dt_g = slope(
+                lambda it: (
+                    lambda f=jax.jit(
+                        lambda A, bb, it=it: gmres(
+                            A, bb, tol=0.0, maxiter=it, restart=30
+                        )[1].iterations
+                    ): f(A8, b8)
+                ),
+                30, 90, reps=2,
+            )
+            est_g = (9 * n8 * 4 + 2 * 16.5 * n8 * 4 + 4 * n8 * 4) / 650e9
+            log(f"gmres(30) 8M: {dt_g*1e3:.2f} ms/iter (traffic-bound ~{est_g*1e3:.2f} ms)")
+            emit("gmres30_8M_per_iteration", dt_g * 1e3, "ms", est_g / dt_g)
+
+            dt_b = slope(
+                lambda it: (
+                    lambda f=jax.jit(
+                        lambda A, bb, it=it: bicgstab(A, bb, tol=0.0, maxiter=it)[
+                            1
+                        ].iterations
+                    ): f(A8, b8)
+                ),
+                20, 60, reps=2,
+            )
+            est_b = (2 * 9 * n8 * 4 + 22 * n8 * 4) / 650e9
+            log(f"bicgstab 8M: {dt_b*1e3:.2f} ms/iter (traffic-bound ~{est_b*1e3:.2f} ms)")
+            emit("bicgstab_8M_per_iteration", dt_b * 1e3, "ms", est_b / dt_b)
+
+            # config 4 at 8M: refined TRUE rtol <= 1e-8
+            t0 = time.time()
+            pc8 = GMGPC.setup(
+                a8, grid=(200, 200, 200), nu_pre=2, nu_post=2, dtype=np.float32
+            )
+            log(f"GMG 8M setup: {time.time()-t0:.0f}s")
+            A8_64 = csr_to_dia(a8, dtype=np.float64)
+            b8_64 = jnp.asarray(np.ones(n8))
+            ref8 = jax.jit(
+                lambda bb: refine_device(
+                    A8_64, bb,
+                    lambda r: pcg(A8, r, M=pc8, tol=1e-5, maxiter=60,
+                                  true_residual=False),
+                    tol=1e-8, max_outer=6,
+                )
+            )
+            t8 = min_wall(lambda: sync(ref8(b8_64)[1].outer_iterations))
+            xr8, st8 = ref8(b8_64)
+            a8_sp = sp.csr_matrix(
+                (a8.data.astype(np.float64), a8.indices, a8.indptr), shape=a8.shape
+            )
+            host_rel8 = float(
+                np.linalg.norm(np.asarray(b8_64) - a8_sp @ np.asarray(xr8))
+                / np.linalg.norm(np.asarray(b8_64))
+            )
+            log(f"config4 8M refined TRUE<=1e-8: {t8*1e3:.0f} ms (host_rel {host_rel8:.2e})")
+            if host_rel8 <= 1e-8:
+                emit("config4_poisson3d_8M_refined_TRUE_rtol1e-8", t8, "s",
+                     8.0 / t8)  # 1 s/1M target scaled by 8
+        except Exception as e:
+            log(f"8M configs failed: {type(e).__name__}: {e}")
+
+    # ------------- config 5: sharded solvers (1-device degenerate) -----
+    try:
+        from kryst_tpu.parallel.mesh import solver_mesh
+        from kryst_tpu.parallel.sharded import (
+            distribute_dia, pad_vector, sharded_solve,
         )
-    )
+        from kryst_tpu.solvers.pipelined import pipecg
+
+        mesh5 = solver_mesh(len(jax.devices()))
+        a5 = gallery.poisson_2d(64)
+        A5 = csr_to_dia(a5, dtype=np.float32)
+        A5d, npad5 = distribute_dia(A5, mesh5)
+        b5 = pad_vector(jnp.ones(64 * 64, jnp.float32), npad5, mesh5)
+        x5, s5 = sharded_solve(pipecg, A5d, b5, mesh=mesh5, tol=1e-6)
+        log(
+            f"config5: sharded pipecg over {len(jax.devices())} device(s): "
+            f"iters={int(s5.iterations)} reached={bool(s5.reached_tol)}"
+        )
+        emit("config5_sharded_pipecg_iters", int(s5.iterations), "iterations",
+             1.0 if bool(s5.reached_tol) else 0.0)
+    except Exception as e:
+        log(f"config5 failed: {type(e).__name__}: {e}")
+
+    # ------------- headline LAST: config 4 at 1M ------------------------
+    if t_refined is not None:
+        emit(f"poisson3d_{size_tag}_refined_TRUE_rtol1e-8", t_refined, "s",
+             1.0 / t_refined)
+    else:
+        # fallback: converged f32 PCG wall (honest floor)
+        solve = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=1e-8, maxiter=3000))
+        t_solve = min_wall(lambda: sync(solve(A, b, M)[1].iterations))
+        emit(f"poisson3d_{size_tag}_pcg_jacobi_time_f32floor", t_solve, "s",
+             1.0 / t_solve)
 
 
 if __name__ == "__main__":

@@ -82,22 +82,32 @@ class PCConfig:
         return cls("jacobi")
 
     @classmethod
-    def ssor(cls, omega: float = 1.0, its: int = 1, eisenstat: bool = False):
+    def ssor(cls, omega: float = 1.0, its: int = 1, eisenstat: bool = False,
+             grid=None):
         """``eisenstat``: use Eisenstat's trick (sor.rs:42's EISENSTAT flag,
         unimplemented in the reference) — only valid with solver='pcg',
         where the solve is dispatched to :func:`kryst_tpu.pc.sor.eisenstat_cg`
-        (same convergence, no A-matvec per iteration)."""
-        return cls(
-            "ssor", (("omega", omega), ("its", its), ("eisenstat", eisenstat))
-        )
+        (same convergence, no A-matvec per iteration).
+        ``grid``: (nx, ny) of a 5-point structured matrix — exact sweeps
+        run as antidiagonal-major scans (pc/diagmajor.py) instead of the
+        gather-latency-bound level schedule."""
+        p = (("omega", omega), ("its", its), ("eisenstat", eisenstat))
+        if grid is not None:
+            p += (("grid", tuple(grid)),)
+        return cls("ssor", p)
 
     @classmethod
-    def sor(cls, omega: float = 1.0, its: int = 1):
-        return cls("sor", (("omega", omega), ("its", its)))
+    def sor(cls, omega: float = 1.0, its: int = 1, grid=None):
+        p = (("omega", omega), ("its", its))
+        if grid is not None:
+            p += (("grid", tuple(grid)),)
+        return cls("sor", p)
 
     @classmethod
-    def ilu0(cls):
-        return cls("ilu0")
+    def ilu0(cls, grid=None):
+        """``grid``: (nx, ny) of a 5-point structured matrix — exact
+        L/U solves run as antidiagonal-major scans (pc/diagmajor.py)."""
+        return cls("ilu0", (("grid", tuple(grid)),) if grid is not None else ())
 
     @classmethod
     def ilup(cls, fill: int = 1):
@@ -172,6 +182,15 @@ class PCConfig:
                     "solve(solver='pcg', ...); it is not a standalone PC "
                     "apply — or call kryst_tpu.pc.sor.eisenstat_cg directly"
                 )
+            if kw.get("grid") is not None:
+                from kryst_tpu.pc.diagmajor import DiagMajorSOR2D
+
+                return DiagMajorSOR2D.setup(
+                    a_host, tuple(kw["grid"]), omega=kw.get("omega", 1.0),
+                    its=kw.get("its", 1),
+                    sweep="symmetric" if kind == "ssor" else "forward",
+                    dtype=dtype, A_device=A_device,
+                )
             sweep = SweepType.SYMMETRIC if kind == "ssor" else SweepType.FORWARD
             return SORPC.setup(
                 a_host, omega=kw.get("omega", 1.0), its=kw.get("its", 1),
@@ -185,6 +204,15 @@ class PCConfig:
                 dtype=dtype,
             )
         if kind == "ilu0":
+            if kw.get("grid") is not None:
+                g = tuple(kw["grid"])
+                if len(g) == 3:
+                    from kryst_tpu.pc.diagmajor import DiagMajorILU3D
+
+                    return DiagMajorILU3D.setup(a_host, g, dtype=dtype)
+                from kryst_tpu.pc.diagmajor import DiagMajorILU2D
+
+                return DiagMajorILU2D.setup(a_host, g, dtype=dtype)
             from kryst_tpu.pc.ilu import ilu0
 
             return ilu0(a_host, dtype=dtype)
@@ -245,10 +273,10 @@ def parse_pc_options(opts: dict) -> PCConfig:
     builders = {
         "none": (PCConfig.none, ()),
         "jacobi": (PCConfig.jacobi, ()),
-        "ssor": (PCConfig.ssor, ("omega", "its")),
-        "sor": (PCConfig.sor, ("omega", "its")),
+        "ssor": (PCConfig.ssor, ("omega", "its", "grid")),
+        "sor": (PCConfig.sor, ("omega", "its", "grid")),
         "multicolor_sor": (PCConfig.multicolor_sor, ("omega", "its")),
-        "ilu0": (PCConfig.ilu0, ()),
+        "ilu0": (PCConfig.ilu0, ("grid",)),
         "ilup": (PCConfig.ilup, ("fill",)),
         "ilut": (PCConfig.ilut, ("fill", "droptol")),
         "chebyshev": (PCConfig.chebyshev, ("degree", "emin", "emax")),
@@ -373,21 +401,10 @@ def solve(
     dtype = b.dtype
     if isinstance(A, CSRMatrix):
         a_host = A
-        # device-format selection: DIA when the diagonal structure allows
-        # (gather-free SpMV — the TPU fast path), ELL otherwise. The device
-        # operator follows b's dtype (an f64-assembled host matrix with an
-        # f32 rhs previously produced a dtype-mismatched solver carry).
-        try:
-            from kryst_tpu.ops.dia import csr_to_dia
-
-            # DIA stores ndiag * n entries: cap the dense-plane budget
-            # (~256 MB f32) as well as the raw offset count, mirroring
-            # AMGPC.setup — a 1M-row matrix with ~400 scattered diagonals
-            # would otherwise allocate GBs of mostly-zero planes
-            budget = max(32, 64_000_000 // max(A.shape[0], 1))
-            A = csr_to_dia(A, max_offsets=min(512, budget), dtype=dtype)
-        except ValueError:
-            A = A.to_ell(dtype=dtype)
+        # The device operator follows b's dtype (an f64-assembled host
+        # matrix with an f32 rhs previously produced a dtype-mismatched
+        # solver carry).
+        A = A.to_device_operator(dtype=dtype)
     A = as_operator(A)
 
     # solvers that take no preconditioner: a supplied pc would be silently
@@ -506,8 +523,12 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
         return x, stats
     if isinstance(stats.rel_residual, jax.core.Tracer):
         return x, stats  # under jit: stats are traced, cannot branch
-    if jnp.dtype(b.dtype).itemsize >= 8 or tol >= 1e-6:
-        return x, stats  # f64 solve, or tol certifiable in f32
+    if jnp.dtype(b.dtype).itemsize >= 8:
+        return x, stats  # f64 solve: no precision floor to recover from
+    # NB: no absolute-tol gate here — the f32 floor is eps*kappa, so even
+    # tol=1e-5 silently fails on kappa~1e4 operators (measured: Poisson
+    # 128^2 stalls at 5e-4). The stall signature below (reached_tol False,
+    # rel <= 1e-2, no breakdown) is the trigger, whatever the tol.
     if str(options.get("norm", "")).lower() == "none":
         return x, stats  # user asked for a fixed-iteration run
     from kryst_tpu.core.convergence import Breakdown

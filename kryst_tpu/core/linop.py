@@ -277,7 +277,14 @@ _register(FunctionOperator, [], ["mv", "rmv", "shape"])
 
 
 def as_operator(a):
-    """Coerce an array / operator-like object to a LinearOperator."""
+    """Coerce an array / operator-like object to a LinearOperator.
+
+    Host ``CSRMatrix`` assemblies are converted to the preferred device
+    format (DIA when the diagonal structure allows, ELL otherwise) so
+    every solver entry point accepts them, not just ``solve()``.
+    """
+    if hasattr(a, "to_device_operator"):  # host CSRMatrix (duck-typed)
+        return a.to_device_operator()
     if hasattr(a, "matvec"):
         return a
     arr = jnp.asarray(a)

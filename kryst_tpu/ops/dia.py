@@ -189,6 +189,26 @@ class DIAOperator:
         y = self.matvec(p)
         return y, jnp.sum(p * y)
 
+    def smooth_jacobi(self, z: Array, r: Array, dinv: Array, omega) -> Array:
+        """One damped-Jacobi step z + omega*dinv*(r - A z), fused into the
+        streaming kernel's epilogue on the beyond-VMEM path (one HBM pass
+        instead of SpMV + separate elementwise pass — the pallas_call
+        boundary prevents XLA from fusing them). Exact same arithmetic as
+        the unfused form."""
+        if (
+            not _on_cpu()
+            and self.data_blk is not None
+            and self.data.dtype.itemsize < 8
+            and (not self._resident() or len(self.offsets) > 8)
+        ):
+            from kryst_tpu.ops.streamed import dia_spmv_planned
+
+            return dia_spmv_planned(
+                self.data_blk, self.offsets, z, self.plan,
+                smooth_r=r, smooth_dinv=dinv, smooth_omega=float(omega),
+            )
+        return z + omega * dinv * (r - self.matvec(z))
+
     def diagonal(self) -> Array:
         if 0 in self.offsets:
             return self.data[self.offsets.index(0)]
@@ -345,9 +365,9 @@ def csr_to_dia(
             "DIA is not a sensible format — use ELL or reorder first"
         )
     data = np.zeros((len(offs), n), dtype=dtype)
-    pos = {int(o): k for k, o in enumerate(offs)}
-    for r, c, v in zip(A.row, A.col, A.data):
-        data[pos[int(c - r)], r] += v
+    # vectorized scatter (a Python loop over nnz costs minutes at 8M dof)
+    krow = np.searchsorted(offs, A.col - A.row)
+    np.add.at(data, (krow, A.row), A.data.astype(dtype))
     return _make_dia(data, tuple(int(o) for o in offs), n, transpose=transpose)
 
 

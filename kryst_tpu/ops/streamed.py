@@ -142,10 +142,18 @@ def plan_dia(
     return np.ascontiguousarray(d), plan
 
 
-def _streamed_kernel(offsets, bm, margin, with_dot, x_ref, d_ref, o_ref, *rest):
+def _streamed_kernel(offsets, bm, margin, with_dot, smooth_omega, *refs):
     import jax.experimental.pallas as pl
     import jax.lax as lax_
     from jax.experimental.pallas import tpu as pltpu
+
+    # ref layout: x, d [, r, dinv] -> out [, dot]
+    x_ref, d_ref = refs[0], refs[1]
+    if smooth_omega is not None:
+        r_ref, di_ref = refs[2], refs[3]
+        o_ref, rest = refs[4], refs[5:]
+    else:
+        o_ref, rest = refs[2], refs[3:]
 
     i = pl.program_id(0)
     i0 = i * bm
@@ -171,7 +179,14 @@ def _streamed_kernel(offsets, bm, margin, with_dot, x_ref, d_ref, o_ref, *rest):
         # for the strided (ndiag, bm, 128) block DMA, measured).
         term = d_ref[k * bm : (k + 1) * bm] * Y
         acc = term if acc is None else acc + term
-    o_ref[...] = acc
+    if smooth_omega is not None:
+        # fused damped-Jacobi epilogue: out = x + omega * dinv * (r - A x).
+        # Saves the separate elementwise HBM pass a pallas_call boundary
+        # would otherwise force on the smoothing update (VERDICT r2 item 2).
+        xc = W0[margin : margin + bm]
+        o_ref[...] = xc + smooth_omega * di_ref[...] * (r_ref[...] - acc)
+    else:
+        o_ref[...] = acc
     if with_dot:
         acc_ref = rest[0]
         xc = W0[margin : margin + bm]
@@ -186,7 +201,8 @@ def _streamed_kernel(offsets, bm, margin, with_dot, x_ref, d_ref, o_ref, *rest):
             acc_ref[0, 0] = acc_ref[0, 0] + partial
 
 
-def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
+def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
+                 smooth=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -194,7 +210,10 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
     # traces as i64 and Mosaic rejects the index fn (func.return (i64,i64))
     ndiag = len(offsets)
     isz = Xw.dtype.itemsize
-    kern = functools.partial(_streamed_kernel, offsets, bm, margin, with_dot)
+    omega = None if smooth is None else smooth[2]
+    kern = functools.partial(
+        _streamed_kernel, offsets, bm, margin, with_dot, omega
+    )
     out_shape = [jax.ShapeDtypeStruct((nb * bm, 128), Xw.dtype)]
     out_specs = [
         pl.BlockSpec((bm, 128), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM)
@@ -216,36 +235,49 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb):
         + ndiag * bm * 128 * isz // 4
     )
     z = np.int32(0)
+    in_specs = [
+        # x window: resident (whole-array block). The explicit index map
+        # matters: a no-block-shape spec under a grid gets a DEFAULT
+        # index map whose zeros are i64 under jax_enable_x64, and
+        # Mosaic rejects the kernel (func.return (i64, i64)).
+        pl.BlockSpec(
+            (nb * bm + 2 * margin, 128),
+            lambda i: (z, z),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (ndiag * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [Xw, Dw]
+    if smooth is not None:
+        Rw, DIw, _ = smooth
+        for extra in (Rw, DIw):
+            in_specs.append(
+                pl.BlockSpec((bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM)
+            )
+            args.append(extra)
+        vmem_bytes += 4 * bm * 128 * isz  # double-buffered r + dinv blocks
     res = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[
-            # x window: resident (whole-array block). The explicit index map
-            # matters: a no-block-shape spec under a grid gets a DEFAULT
-            # index map whose zeros are i64 under jax_enable_x64, and
-            # Mosaic rejects the kernel (func.return (i64, i64)).
-            pl.BlockSpec(
-                (nb * bm + 2 * margin, 128),
-                lambda i: (z, z),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ndiag * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
         ),
         interpret=interpret,
-    )(Xw, Dw)
+    )(*args)
     return res if with_dot else res[0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "plan", "with_dot", "interpret", "x_budget_bytes"),
+    static_argnames=(
+        "offsets", "plan", "with_dot", "smooth_omega", "interpret",
+        "x_budget_bytes",
+    ),
 )
 def dia_spmv_planned(
     data_blk: Array,
@@ -254,6 +286,9 @@ def dia_spmv_planned(
     plan: DIAPlan,
     *,
     with_dot: bool = False,
+    smooth_r: Optional[Array] = None,
+    smooth_dinv: Optional[Array] = None,
+    smooth_omega: Optional[float] = None,
     interpret: bool = False,
     x_budget_bytes: Optional[int] = None,
 ):
@@ -262,6 +297,12 @@ def dia_spmv_planned(
     Chunks over block ranges when the resident x window would exceed the
     VMEM budget; each chunk's coefficient panel slice is contiguous by
     construction, so chunking costs nothing in layout terms.
+
+    ``smooth_r``/``smooth_dinv``/``smooth_omega`` switch the kernel to
+    the fused damped-Jacobi form ``x + omega * dinv * (r - A x)`` — the
+    multigrid smoothing update in ONE pass (the pallas_call boundary
+    otherwise forces the elementwise update into a separate full HBM
+    pass at beyond-VMEM sizes).
     """
     n = x.shape[0]
     bm, margin, mpad = plan.block_rows, plan.margin, plan.mpad
@@ -270,6 +311,12 @@ def dia_spmv_planned(
     nblk = plan.nblk
     X = jnp.pad(x, (0, npad - n)).reshape(mpad, 128)
     X = jnp.pad(X, ((margin, margin), (0, 0)))
+    smoothing = smooth_omega is not None
+    if smoothing:
+        if with_dot:
+            raise ValueError("with_dot cannot combine with the smooth epilogue")
+        R = jnp.pad(smooth_r, (0, npad - n)).reshape(mpad, 128)
+        DI = jnp.pad(smooth_dinv, (0, npad - n)).reshape(mpad, 128)
 
     isz = x.dtype.itemsize
     budget = x_budget_bytes or _X_VMEM_BUDGET_BYTES
@@ -283,7 +330,14 @@ def dia_spmv_planned(
         Dw = jax.lax.dynamic_slice_in_dim(
             data_blk, b0 * ndiag * bm, nb * ndiag * bm
         )
-        res = _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb)
+        smooth = None
+        if smoothing:
+            Rw = jax.lax.dynamic_slice_in_dim(R, b0 * bm, nb * bm)
+            DIw = jax.lax.dynamic_slice_in_dim(DI, b0 * bm, nb * bm)
+            smooth = (Rw, DIw, float(smooth_omega))
+        res = _call_kernel(
+            offsets, bm, margin, with_dot, interpret, Xw, Dw, nb, smooth
+        )
         if with_dot:
             outs.append(res[0])
             dots.append(res[1][0, 0])

@@ -229,9 +229,17 @@ class AMGPC:
     #: n*k-element gathers on the unpermuted ELL path
     perm0: Tuple[Array, ...] = ()  # () or (perm, iperm)
 
-    def _smooth(self, lvl: AMGLevel, z: Array, r: Array, nu: int) -> Array:
-        for _ in range(nu):
-            z = z + self.smooth_omega * lvl.inv_diag * (r - lvl.A.matvec(z))
+    def _smooth(self, lvl: AMGLevel, z: Array, r: Array, nu: int,
+                z_is_zero: bool = False) -> Array:
+        for k in range(nu):
+            if z_is_zero and k == 0:
+                # exact shortcut: A·0 = 0 (saves one matvec per level/cycle)
+                z = self.smooth_omega * lvl.inv_diag * r
+            elif hasattr(lvl.A, "smooth_jacobi"):
+                # DIA fast levels: fused streamed smoothing (ops/streamed.py)
+                z = lvl.A.smooth_jacobi(z, r, lvl.inv_diag, self.smooth_omega)
+            else:
+                z = z + self.smooth_omega * lvl.inv_diag * (r - lvl.A.matvec(z))
         return z
 
     def _vcycle(self, l: int, r: Array) -> Array:
@@ -243,7 +251,7 @@ class AMGPC:
 
             return jnp.dot(self.coarse_inv, r, precision=lax_.Precision.HIGHEST)
         lvl = self.levels[l]
-        z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre)
+        z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre, z_is_zero=True)
         resid = r - lvl.A.matvec(z)  # amg.rs:213-224
         rc = lvl.restrict(resid)  # amg.rs:226-227
         zc = self._vcycle(l + 1, rc)  # amg.rs:229-234

@@ -70,11 +70,31 @@ class ChebyshevPC:
         degree: int = 10,
         emin: Optional[float] = None,
         emax: Optional[float] = None,
-        emin_scale: float = 30.0,
+        emin_scale: Optional[float] = None,
+        lanczos_iters: int = 40,
         power_iters: int = 20,
         seed: int = 0,
     ) -> "ChebyshevPC":
+        """Build the PC; with no manual ``emin``/``emax``, spectrum bounds
+        come from a Lanczos pre-pass (:func:`lanczos_spectrum`) — both ends
+        of the spectrum, no fudge knob (VERDICT r2 item 9). Passing
+        ``emin_scale`` restores the old smoother heuristic
+        ``emin = emax / emin_scale`` (hypre/PETSc style — the right choice
+        when Chebyshev smooths inside multigrid rather than preconditions
+        the full spectrum)."""
         A = as_operator(A)
+        if emin is None and emax is None and emin_scale is None:
+            lo, hi = lanczos_spectrum(A, iters=lanczos_iters, seed=seed)
+            if lo > 0:  # definite: trust the Ritz bounds (with margins)
+                return ChebyshevPC(
+                    A=A,
+                    emin=jnp.asarray(0.9 * lo, dtype=A.dtype),
+                    emax=jnp.asarray(1.1 * hi, dtype=A.dtype),
+                    degree=int(degree),
+                )
+            emin_scale = 30.0  # indefinite/singular: smoother heuristic
+        if emin_scale is None:
+            emin_scale = 30.0
         if emax is None:
             emax_v = estimate_spectrum(A, iters=power_iters, seed=seed)
             emax_v = 1.1 * emax_v  # safety margin
@@ -105,6 +125,59 @@ def estimate_spectrum(A, iters: int = 20, seed: int = 0) -> Array:
 
     _, lam = lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype=A.dtype)))
     return lam
+
+
+def lanczos_spectrum(A, iters: int = 40, seed: int = 0):
+    """Spectrum bounds (theta_min, theta_max) from an m-step Lanczos pass.
+
+    Replaces the power-iteration + ``emin_scale`` fudge (VERDICT r2 item
+    9): the extreme Ritz values of the Lanczos tridiagonal converge to the
+    extreme eigenvalues from BOTH ends, so emin needs no heuristic. No
+    reorthogonalization — loss of orthogonality produces spurious interior
+    copies but leaves the extreme Ritz values accurate (Paige), which is
+    all a Chebyshev interval needs. The m-step recurrence runs jitted on
+    device; the m x m tridiagonal eigenproblem is solved on host (setup
+    is a host-side call, like every PC setup here).
+
+    Returns floats; ``theta_min <= 0`` signals an indefinite/singular
+    operator — callers should fall back to a smoother-style interval.
+    """
+    import numpy as np
+
+    A = as_operator(A)
+    n = A.shape[0]
+    m = int(min(iters, n))
+
+    def run(key):
+        v = jax.random.normal(key, (n,), dtype=A.dtype)
+        v = v / jnp.linalg.norm(v)
+
+        def step(carry, _):
+            v_prev, v, beta_prev = carry
+            w = A.matvec(v) - beta_prev * v_prev
+            alpha = jnp.vdot(v, w)
+            w = w - alpha * v
+            beta = jnp.linalg.norm(w)
+            v_next = w / jnp.maximum(beta, jnp.finfo(A.dtype).tiny)
+            return (v, v_next, beta), (alpha, beta)
+
+        zero = jnp.zeros((), dtype=A.dtype)
+        _, (alphas, betas) = lax.scan(
+            step, (jnp.zeros_like(v), v, zero), None, length=m
+        )
+        return alphas, betas
+
+    alphas, betas = jax.jit(run)(jax.random.PRNGKey(seed))
+    a = np.asarray(alphas, dtype=np.float64)
+    b = np.asarray(betas, dtype=np.float64)[:-1]
+    # exact breakdown (beta ~ 0): the Krylov space became invariant early;
+    # truncate T there — later entries are noise from the tiny-beta guard
+    cut = np.nonzero(b <= 1e3 * np.finfo(np.float64).tiny)[0]
+    if cut.size:
+        k = int(cut[0]) + 1
+        a, b = a[:k], b[: k - 1]
+    evals = np.linalg.eigvalsh(np.diag(a) + np.diag(b, 1) + np.diag(b, -1))
+    return float(evals[0]), float(evals[-1])
 
 
 def chebyshev_t(m: int, x):

@@ -1,0 +1,475 @@
+"""Exact lexicographic triangular solves in antidiagonal-major form.
+
+VERDICT r2 item 4. The level-scheduled wavefront solve (pc/triangular.py)
+is EXACT but latency-bound on TPU: each of ~2*grid levels pays a gather +
+scatter step (~25 us measured), so an exact ILU(0) apply at 256^2 costs
+~500 levels of launch latency. On a structured 2-D 5-point grid the
+wavefronts are the ANTIdiagonals i+j = d, and every dependency of level d
+lives at level d-1, at packed positions i and i-1 — so if the vector is
+stored antidiagonal-major, each wavefront step is two CONTIGUOUS shifted
+slices and a fused multiply-add: zero gathers, ~6 VPU ops per level inside
+one ``lax.scan``.
+
+The antidiagonal-major permutation itself is gather-free: skewing
+``X[i, j] -> Y[i, i+j]`` is a pad + flat reshape with row stride
+``nx+ny-1`` (the classic as-strided skew), so pack/unpack cost two
+reshapes, not an n-element gather (XLA gathers run at ~0.13 Gelem/s on
+this TPU — a 65k-element permutation would cost ~0.5 ms, dwarfing the
+solve).
+
+Exactness: identical arithmetic to sequential lexicographic substitution
+(reference src/preconditioner/ilu.rs:105-122, sor.rs:124-170) — rows
+within an antidiagonal are independent, so only the summation order
+within a row could differ, and a 5-point row has at most two strict-
+triangle terms: the sums are literally the same. Parity is tested
+against the NumPy exact oracle (tests/test_diagmajor.py).
+
+Scope: 2-D 5-point and 3-D 7-point patterns (Poisson, convection-
+diffusion; ILU(0) factors of such matrices keep the pattern). The 3-D
+variant packs wavefront planes i+j+k = d by applying the same skew trick
+twice (batched over the leading axis).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+from jax.tree_util import register_dataclass
+
+from kryst_tpu.matrix.csr import CSRMatrix
+
+
+def skew_pack(X: Array) -> Array:
+    """(nx, ny) -> (nx+ny-1, nx) with out[d, i] = X[i, d - i] (else 0).
+
+    Pure pad + reshape + transpose: flat index of the padded array at
+    [i, d-i] is i*(nx+ny-1) + d, so reshaping the flat buffer with row
+    length nx+ny-1 lands antidiagonal d in column d. Out-of-band slots
+    read the zero padding by construction.
+    """
+    nx, ny = X.shape
+    P = jnp.pad(X, ((0, 0), (0, nx)))  # (nx, ny+nx)
+    flat = P.reshape(-1)[: nx * (nx + ny - 1)]
+    return flat.reshape(nx, nx + ny - 1).T
+
+
+def skew_unpack(Yt: Array, nx: int, ny: int) -> Array:
+    """Inverse of :func:`skew_pack`: (nx+ny-1, nx) -> (nx, ny)."""
+    flat = Yt.T.reshape(-1)
+    flat = jnp.pad(flat, (0, nx))
+    return flat.reshape(nx, nx + ny)[:, :ny]
+
+
+def skew_pack_np(X: np.ndarray) -> np.ndarray:
+    """Host-side pack for setup-time coefficient planes."""
+    nx, ny = X.shape
+    out = np.zeros((nx + ny - 1, nx), dtype=X.dtype)
+    for i in range(nx):
+        out[i : i + ny, i] = X[i]
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorTriangular2D:
+    """One triangular factor of a 5-point 2-D grid operator, stored
+    antidiagonal-major.
+
+    Lower (lexicographic forward): solves ``(D + C_ax S_ax + C_un S_un)
+    x = b`` where ``S_ax`` shifts by one grid ROW (matrix offset -ny,
+    packed read at position i-1 of the previous level) and ``S_un`` by
+    one grid COLUMN (offset -1, packed position i). Upper mirrors with
+    offsets +ny / +1 and a reversed scan. ``dinv`` is 1/diag packed
+    (zero outside the band — padded lanes solve to exactly 0); unit-
+    diagonal factors pass dinv = banded ones.
+    """
+
+    c_ax: Array  # (nlev, nx) coeff of the +-ny neighbor
+    c_un: Array  # (nlev, nx) coeff of the +-1 neighbor
+    dinv: Array  # (nlev, nx) 1/diag, 0 outside the band
+    grid: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    lower: bool = dataclasses.field(metadata=dict(static=True))
+
+    def solve_packed(self, B: Array) -> Array:
+        """B: (nlev, nx) packed rhs -> packed solution."""
+        nx = self.grid[0]
+        zero = jnp.zeros((1,), dtype=B.dtype)
+
+        if self.lower:
+
+            def step(xprev, inp):
+                b, ca, cu, di = inp
+                x_ax = jnp.concatenate([zero, xprev[:-1]])  # position i-1
+                xd = (b - ca * x_ax - cu * xprev) * di
+                return xd, xd
+
+        else:
+
+            def step(xnext, inp):
+                b, ca, cu, di = inp
+                x_ax = jnp.concatenate([xnext[1:], zero])  # position i+1
+                xd = (b - ca * x_ax - cu * xnext) * di
+                return xd, xd
+
+        init = jnp.zeros((nx,), dtype=B.dtype)
+        _, X = lax.scan(
+            step, init, (B, self.c_ax, self.c_un, self.dinv),
+            reverse=not self.lower,
+        )
+        return X
+
+    def solve(self, b: Array) -> Array:
+        nx, ny = self.grid
+        B = skew_pack(b.reshape(nx, ny))
+        return skew_unpack(self.solve_packed(B), nx, ny).reshape(nx * ny)
+
+
+register_dataclass(
+    DiagMajorTriangular2D,
+    data_fields=["c_ax", "c_un", "dinv"],
+    meta_fields=["grid", "lower"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorILU2D:
+    """Exact ILU(0) apply for 5-point 2-D grid matrices at TPU speed:
+    z = U^{-1} L^{-1} r with both solves as antidiagonal scans. Same
+    factorization as :func:`kryst_tpu.pc.ilu.ilu0`; same arithmetic as
+    its level-scheduled apply (reference ilu.rs:105-122) without the
+    per-level gather/scatter latency."""
+
+    L: DiagMajorTriangular2D
+    U: DiagMajorTriangular2D
+
+    def apply(self, r: Array) -> Array:
+        nx, ny = self.L.grid
+        B = skew_pack(r.reshape(nx, ny))
+        Y = self.L.solve_packed(B)
+        X = self.U.solve_packed(Y)
+        return skew_unpack(X, nx, ny).reshape(nx * ny)
+
+    @staticmethod
+    def setup(a: CSRMatrix, grid: Tuple[int, int], dtype=None) -> "DiagMajorILU2D":
+        """Factor (host IKJ, shared with ilu0) and pack. ``a`` must have
+        the 5-point pattern on ``grid = (nx, ny)`` lexicographic order;
+        raises otherwise."""
+        from kryst_tpu.pc.ilu import _csr_to_rowdicts, _factor_ikj
+
+        nx, ny = grid
+        n = nx * ny
+        if a.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match matrix n={a.shape[0]}")
+        dtype = dtype or a.data.dtype
+        rows = _factor_ikj(_csr_to_rowdicts(a), n)
+        cN = np.zeros((nx, ny))  # L coeff at (i-1, j): matrix col k - ny
+        cW = np.zeros((nx, ny))  # L coeff at (i, j-1): col k - 1
+        cS = np.zeros((nx, ny))  # U coeff at (i+1, j): col k + ny
+        cE = np.zeros((nx, ny))  # U coeff at (i, j+1): col k + 1
+        dg = np.zeros((nx, ny))
+        for k, row in enumerate(rows):
+            i, j = divmod(k, ny)
+            for c, v in row.items():
+                if c == k - ny:
+                    cN[i, j] = v
+                elif c == k - 1 and j > 0:
+                    cW[i, j] = v
+                elif c == k + ny:
+                    cS[i, j] = v
+                elif c == k + 1 and j < ny - 1:
+                    cE[i, j] = v
+                elif c == k:
+                    dg[i, j] = v
+                else:
+                    raise ValueError(
+                        f"entry ({k},{c}) outside the 5-point pattern on "
+                        f"grid {grid}; DiagMajorILU2D requires it"
+                    )
+        ones = skew_pack_np(np.ones((nx, ny))).astype(dtype)
+        dinv = skew_pack_np(
+            np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+        ).astype(dtype)
+        L = DiagMajorTriangular2D(
+            c_ax=jnp.asarray(skew_pack_np(cN).astype(dtype)),
+            c_un=jnp.asarray(skew_pack_np(cW).astype(dtype)),
+            dinv=jnp.asarray(ones),  # unit diagonal
+            grid=grid, lower=True,
+        )
+        U = DiagMajorTriangular2D(
+            c_ax=jnp.asarray(skew_pack_np(cS).astype(dtype)),
+            c_un=jnp.asarray(skew_pack_np(cE).astype(dtype)),
+            dinv=jnp.asarray(dinv),
+            grid=grid, lower=False,
+        )
+        return DiagMajorILU2D(L=L, U=U)
+
+
+register_dataclass(DiagMajorILU2D, data_fields=["L", "U"], meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorSOR2D:
+    """Exact lexicographic SOR/SSOR sweeps for 5-point 2-D grids.
+
+    Forward sweep (reference MatSorType semantics, sor.rs:124-170):
+    ``x += (D/omega + L)^{-1} (b - A x)`` — the triangular solve is the
+    antidiagonal scan, A's matvec is the caller's operator. ``sweep`` in
+    {"forward", "backward", "symmetric"}; ``its`` Richardson sweeps from
+    x = 0, exactly :class:`kryst_tpu.pc.sor.SORPC`'s semantics.
+    """
+
+    Lfac: DiagMajorTriangular2D  # (D/omega + L)
+    Ufac: DiagMajorTriangular2D  # (D/omega + U)
+    A: object  # device operator for the residual matvec
+    its: int = dataclasses.field(metadata=dict(static=True))
+    sweep: str = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, r: Array) -> Array:
+        nx, ny = self.Lfac.grid
+        x = jnp.zeros_like(r)
+        for _ in range(self.its):
+            if self.sweep in ("forward", "symmetric"):
+                res = r - self.A.matvec(x)
+                B = skew_pack(res.reshape(nx, ny))
+                x = x + skew_unpack(
+                    self.Lfac.solve_packed(B), nx, ny
+                ).reshape(nx * ny)
+            if self.sweep in ("backward", "symmetric"):
+                res = r - self.A.matvec(x)
+                B = skew_pack(res.reshape(nx, ny))
+                x = x + skew_unpack(
+                    self.Ufac.solve_packed(B), nx, ny
+                ).reshape(nx * ny)
+        return x
+
+    @staticmethod
+    def setup(
+        a: CSRMatrix, grid: Tuple[int, int], omega: float = 1.0,
+        its: int = 1, sweep: str = "symmetric", dtype=None, A_device=None,
+    ) -> "DiagMajorSOR2D":
+        nx, ny = grid
+        n = nx * ny
+        if a.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match matrix n={a.shape[0]}")
+        dtype = dtype or a.data.dtype
+        cN = np.zeros((nx, ny)); cW = np.zeros((nx, ny))
+        cS = np.zeros((nx, ny)); cE = np.zeros((nx, ny))
+        dg = np.zeros((nx, ny))
+        for k in range(n):
+            i, j = divmod(k, ny)
+            cols, vals = a.row(k)
+            for c, v in zip(cols.tolist(), vals.tolist()):
+                if c == k - ny:
+                    cN[i, j] = v
+                elif c == k - 1 and j > 0:
+                    cW[i, j] = v
+                elif c == k + ny:
+                    cS[i, j] = v
+                elif c == k + 1 and j < ny - 1:
+                    cE[i, j] = v
+                elif c == k:
+                    dg[i, j] = v
+                else:
+                    raise ValueError(
+                        f"entry ({k},{c}) outside the 5-point pattern"
+                    )
+        if (dg == 0).any():
+            raise ZeroDivisionError("zero diagonal in SOR setup")
+        dsc = dg / omega
+        dinv = skew_pack_np(1.0 / dsc).astype(dtype)
+        Lfac = DiagMajorTriangular2D(
+            c_ax=jnp.asarray(skew_pack_np(cN).astype(dtype)),
+            c_un=jnp.asarray(skew_pack_np(cW).astype(dtype)),
+            dinv=jnp.asarray(dinv), grid=grid, lower=True,
+        )
+        Ufac = DiagMajorTriangular2D(
+            c_ax=jnp.asarray(skew_pack_np(cS).astype(dtype)),
+            c_un=jnp.asarray(skew_pack_np(cE).astype(dtype)),
+            dinv=jnp.asarray(dinv), grid=grid, lower=False,
+        )
+        if A_device is None:
+            from kryst_tpu.ops.dia import csr_to_dia
+
+            A_device = csr_to_dia(a, dtype=dtype)
+        return DiagMajorSOR2D(Lfac=Lfac, Ufac=Ufac, A=A_device, its=its, sweep=sweep)
+
+
+register_dataclass(
+    DiagMajorSOR2D,
+    data_fields=["Lfac", "Ufac", "A"],
+    meta_fields=["its", "sweep"],
+)
+
+
+# ---------------------------------------------------------------------------
+# 3-D (7-point) variant: wavefront planes i+j+k = d, packed (nlev, nx, ny).
+# Double application of the batched skew trick — still zero gathers.
+# ---------------------------------------------------------------------------
+
+
+def _batched_skew(X: Array) -> Array:
+    """(..., m, L) -> (..., m, m+L-1) with out[..., i, c] = X[..., i, c-i]."""
+    *lead, m, L = X.shape
+    P = jnp.pad(X, [(0, 0)] * len(lead) + [(0, 0), (0, m)])
+    flat = P.reshape(*lead, m * (L + m))[..., : m * (m + L - 1)]
+    return flat.reshape(*lead, m, m + L - 1)
+
+
+def _batched_unskew(Y: Array, L: int) -> Array:
+    """Inverse of _batched_skew: (..., m, m+L-1) -> (..., m, L)."""
+    *lead, m, _ = Y.shape
+    flat = Y.reshape(*lead, m * (m + L - 1))
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, m)])
+    return flat.reshape(*lead, m, L + m)[..., :L]
+
+
+def skew_pack_3d(X: Array) -> Array:
+    """(nx, ny, nz) -> (nx+ny+nz-2, nx, ny), out[d, i, j] = X[i, j, d-i-j]."""
+    nx, ny, nz = X.shape
+    Y1 = _batched_skew(X)                      # (nx, ny, ny+nz-1): c = j+k
+    Y1t = jnp.swapaxes(Y1, 0, 1)               # (ny, nx, L1)
+    Y2 = _batched_skew(Y1t)                    # (ny, nx, L2): c = i+j+k
+    return jnp.transpose(Y2, (2, 1, 0))        # (L2, nx, ny)
+
+
+def skew_unpack_3d(Yt: Array, nx: int, ny: int, nz: int) -> Array:
+    Y2 = jnp.transpose(Yt, (2, 1, 0))          # (ny, nx, L2)
+    Y1t = _batched_unskew(Y2, ny + nz - 1)     # (ny, nx, L1)
+    Y1 = jnp.swapaxes(Y1t, 0, 1)               # (nx, ny, L1)
+    return _batched_unskew(Y1, nz)             # (nx, ny, nz)
+
+
+def skew_pack_3d_np(X: np.ndarray) -> np.ndarray:
+    nx, ny, nz = X.shape
+    out = np.zeros((nx + ny + nz - 2, nx, ny), dtype=X.dtype)
+    for i in range(nx):
+        for j in range(ny):
+            out[i + j : i + j + nz, i, j] = X[i, j]
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorTriangular3D:
+    """Triangular factor of a 7-point 3-D operator, wavefront-plane-major.
+
+    Lower: deps of (i,j,k) are (i-1,j,k)/(i,j-1,k)/(i,j,k-1), all on the
+    previous plane at packed positions (i-1,j)/(i,j-1)/(i,j)."""
+
+    c_i: Array  # (nlev, nx, ny) coeff of the +-ny*nz neighbor
+    c_j: Array  # coeff of the +-nz neighbor
+    c_k: Array  # coeff of the +-1 neighbor
+    dinv: Array
+    grid: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    lower: bool = dataclasses.field(metadata=dict(static=True))
+
+    def solve_packed(self, B: Array) -> Array:
+        if self.lower:
+
+            def step(xp, inp):
+                b, ci, cj, ck, di = inp
+                xi = jnp.pad(xp[:-1], ((1, 0), (0, 0)))   # (i-1, j)
+                xj = jnp.pad(xp[:, :-1], ((0, 0), (1, 0)))  # (i, j-1)
+                xd = (b - ci * xi - cj * xj - ck * xp) * di
+                return xd, xd
+
+        else:
+
+            def step(xn, inp):
+                b, ci, cj, ck, di = inp
+                xi = jnp.pad(xn[1:], ((0, 1), (0, 0)))    # (i+1, j)
+                xj = jnp.pad(xn[:, 1:], ((0, 0), (0, 1)))  # (i, j+1)
+                xd = (b - ci * xi - cj * xj - ck * xn) * di
+                return xd, xd
+
+        nx, ny, _ = self.grid
+        init = jnp.zeros((nx, ny), dtype=B.dtype)
+        _, X = lax.scan(
+            step, init, (B, self.c_i, self.c_j, self.c_k, self.dinv),
+            reverse=not self.lower,
+        )
+        return X
+
+    def solve(self, b: Array) -> Array:
+        nx, ny, nz = self.grid
+        B = skew_pack_3d(b.reshape(nx, ny, nz))
+        return skew_unpack_3d(self.solve_packed(B), nx, ny, nz).reshape(-1)
+
+
+register_dataclass(
+    DiagMajorTriangular3D,
+    data_fields=["c_i", "c_j", "c_k", "dinv"],
+    meta_fields=["grid", "lower"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorILU3D:
+    """Exact ILU(0) apply for 7-point 3-D grid matrices (see 2-D class)."""
+
+    L: DiagMajorTriangular3D
+    U: DiagMajorTriangular3D
+
+    def apply(self, r: Array) -> Array:
+        nx, ny, nz = self.L.grid
+        B = skew_pack_3d(r.reshape(nx, ny, nz))
+        X = self.U.solve_packed(self.L.solve_packed(B))
+        return skew_unpack_3d(X, nx, ny, nz).reshape(nx * ny * nz)
+
+    @staticmethod
+    def setup(a: CSRMatrix, grid, dtype=None) -> "DiagMajorILU3D":
+        from kryst_tpu.pc.ilu import _csr_to_rowdicts, _factor_ikj
+
+        nx, ny, nz = grid
+        n = nx * ny * nz
+        if a.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match n={a.shape[0]}")
+        dtype = dtype or a.data.dtype
+        rows = _factor_ikj(_csr_to_rowdicts(a), n)
+        shape = (nx, ny, nz)
+        cI = np.zeros(shape); cJ = np.zeros(shape); cK = np.zeros(shape)
+        uI = np.zeros(shape); uJ = np.zeros(shape); uK = np.zeros(shape)
+        dg = np.zeros(shape)
+        snz, snyz = 1, nz
+        snxyz = ny * nz
+        for kflat, row in enumerate(rows):
+            i, rem = divmod(kflat, ny * nz)
+            j, k = divmod(rem, nz)
+            for c, v in row.items():
+                if c == kflat - snxyz:
+                    cI[i, j, k] = v
+                elif c == kflat - snyz and j > 0:
+                    cJ[i, j, k] = v
+                elif c == kflat - snz and k > 0:
+                    cK[i, j, k] = v
+                elif c == kflat + snxyz:
+                    uI[i, j, k] = v
+                elif c == kflat + snyz and j < ny - 1:
+                    uJ[i, j, k] = v
+                elif c == kflat + snz and k < nz - 1:
+                    uK[i, j, k] = v
+                elif c == kflat:
+                    dg[i, j, k] = v
+                else:
+                    raise ValueError(
+                        f"entry ({kflat},{c}) outside the 7-point pattern on "
+                        f"grid {grid}"
+                    )
+        ones = skew_pack_3d_np(np.ones(shape)).astype(dtype)
+        dinv = skew_pack_3d_np(
+            np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+        ).astype(dtype)
+        pk = lambda A_: jnp.asarray(skew_pack_3d_np(A_).astype(dtype))
+        L = DiagMajorTriangular3D(
+            c_i=pk(cI), c_j=pk(cJ), c_k=pk(cK), dinv=jnp.asarray(ones),
+            grid=tuple(grid), lower=True,
+        )
+        U = DiagMajorTriangular3D(
+            c_i=pk(uI), c_j=pk(uJ), c_k=pk(uK), dinv=jnp.asarray(dinv),
+            grid=tuple(grid), lower=False,
+        )
+        return DiagMajorILU3D(L=L, U=U)
+
+
+register_dataclass(DiagMajorILU3D, data_fields=["L", "U"], meta_fields=[])

