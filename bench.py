@@ -87,10 +87,13 @@ def main():
         return (ts[hi] - ts[lo]) / (hi - lo)
 
     # ---------------- config 1: PCG+Jacobi, 2-D Poisson 128^2 ----------
+    # iteration-parity metric vs the NumPy f64 oracle, so the device solve
+    # must run f64 too (an f32 run grinds ~70 extra iterations at its
+    # eps*kappa floor before the recursive residual reads 1e-8)
     try:
         a1 = gallery.poisson_2d(128)
-        A1 = csr_to_dia(a1, dtype=np.float32)
-        b1 = jnp.ones(128 * 128, jnp.float32)
+        A1 = csr_to_dia(a1, dtype=np.float64)
+        b1 = jnp.ones(128 * 128, jnp.float64)
         M1 = JacobiPC.setup(A1)
         f1 = jax.jit(lambda A, b, M: pcg(A, b, M=M, tol=1e-8, maxiter=2000))
         x1, s1 = f1(A1, b1, M1)
@@ -110,39 +113,55 @@ def main():
     except Exception as e:
         log(f"config1 failed: {type(e).__name__}: {e}")
 
-    # ------- config 2: GMRES(30)+exact ILU(0), conv-diff 256^2 ---------
+    # ------- config 2: GMRES(30)+ILU(0), conv-diff 256^2 ---------------
+    # perf metrics ride the TPU fast path (ilu0_dia truncated-Neumann
+    # apply, +0-1 iterations vs exact); the exact antidiagonal-major
+    # apply is emitted as its own metric — its ~2*grid sequential scan
+    # steps are the honest cost of exact lexicographic semantics.
     try:
         from kryst_tpu.pc.diagmajor import DiagMajorILU2D
+        from kryst_tpu.pc.ilu import ilu0_dia
         from kryst_tpu.solvers.gmres import gmres
         from kryst_tpu.solvers.refine import refine_device
 
         a2 = gallery.convection_diffusion_2d(256, beta=10.0)
         A2 = csr_to_dia(a2, dtype=np.float32)
         A2_64 = csr_to_dia(a2, dtype=np.float64)
-        pc2 = DiagMajorILU2D.setup(a2, (256, 256), dtype=np.float32)
+        pc2 = ilu0_dia(a2, dtype=np.float32)
+        pc2x = DiagMajorILU2D.setup(a2, (256, 256), dtype=np.float32)
         b2 = jnp.ones(256 * 256, jnp.float32)
 
-        dt2 = slope(
-            lambda it: (
-                lambda f=jax.jit(
-                    lambda A, b, M, it=it: gmres(
-                        A, b, M=M, side="right", tol=0.0, maxiter=it, restart=30
-                    )[1].iterations
-                ): f(A2, b2, pc2)
-            ),
-            60, 180, reps=2,
-        )
-        log(f"config2: GMRES(30)+diagmajor-ILU0 256^2: {dt2*1e6:.1f} us/iter")
+        def per_iter2(pc):
+            return slope(
+                lambda it: (
+                    lambda f=jax.jit(
+                        lambda A, b, M, it=it: gmres(
+                            A, b, M=M, side="right", tol=0.0, maxiter=it,
+                            restart=30,
+                        )[1].iterations
+                    ): f(A2, b2, pc)
+                ),
+                60, 180, reps=2,
+            )
 
-        inner2 = lambda r: gmres(
-            A2, r, M=pc2, side="right", tol=1e-5, maxiter=400, restart=30
+        dt2 = per_iter2(pc2)
+        log(f"config2: GMRES(30)+ilu0_dia 256^2: {dt2*1e6:.1f} us/iter")
+        dt2x = per_iter2(pc2x)
+        log(f"config2: GMRES(30)+exact diagmajor ILU0: {dt2x*1e6:.1f} us/iter")
+        emit("config2_gmres30_exact_diagmajor_ilu0_per_iteration",
+             dt2x * 1e6, "us", dt2 / dt2x)
+
+        inner2 = lambda A, r, M: gmres(
+            A, r, M=M, side="right", tol=1e-5, maxiter=400, restart=30
         )
         ref2 = jax.jit(
-            lambda b64: refine_device(A2_64, b64, inner2, tol=1e-8, max_outer=6)
+            lambda A64, A, M, b64: refine_device(
+                A64, b64, lambda r: inner2(A, r, M), tol=1e-8, max_outer=6
+            )
         )
         b2_64 = jnp.ones(256 * 256)
-        t2 = min_wall(lambda: sync(ref2(b2_64)[1].outer_iterations))
-        xr2, st2 = ref2(b2_64)
+        t2 = min_wall(lambda: sync(ref2(A2_64, A2, pc2, b2_64)[1].outer_iterations))
+        xr2, st2 = ref2(A2_64, A2, pc2, b2_64)
         a2_sp = sp.csr_matrix(
             (a2.data.astype(np.float64), a2.indices, a2.indptr), shape=a2.shape
         )
@@ -229,12 +248,20 @@ def main():
             (a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape
         )
 
-        def refined_wall(inner, label):
+        def refined_wall(make_inner, ops, label):
+            # operators/PCs as jit ARGUMENTS, never closures: closed-over
+            # arrays embed in the HLO as literals and the remote-compile
+            # relay rejects big request bodies (HTTP 413 at 8M)
             solve_r = jax.jit(
-                lambda bb: refine_device(A64, bb, inner, tol=1e-8, max_outer=6)
+                lambda A64_, bb, ops_: refine_device(
+                    A64_, bb, lambda r: make_inner(ops_, r),
+                    tol=1e-8, max_outer=6,
+                )
             )
-            best = min_wall(lambda: sync(solve_r(b64)[1].outer_iterations))
-            xr, st = solve_r(b64)
+            best = min_wall(
+                lambda: sync(solve_r(A64, b64, ops)[1].outer_iterations)
+            )
+            xr, st = solve_r(A64, b64, ops)
             rr = np.asarray(b64) - a_sp @ np.asarray(xr)
             host_rel = float(np.linalg.norm(rr) / np.linalg.norm(np.asarray(b64)))
             log(
@@ -248,14 +275,16 @@ def main():
             try:
                 cands = []
                 tj = refined_wall(
-                    lambda rhs: pcg(A, rhs, M=M, tol=1e-5, maxiter=800,
-                                    true_residual=False), "jacobi",
+                    lambda ops, rhs: pcg(ops[0], rhs, M=ops[1], tol=1e-5,
+                                         maxiter=800, true_residual=False),
+                    (A, M), "jacobi",
                 )
                 if tj:
                     cands.append(tj)
                 tg = refined_wall(
-                    lambda rhs: pcg(A, rhs, M=pc, tol=1e-5, maxiter=40,
-                                    true_residual=False), "gmg",
+                    lambda ops, rhs: pcg(ops[0], rhs, M=ops[1], tol=1e-5,
+                                         maxiter=40, true_residual=False),
+                    (A, pc), "gmg",
                 )
                 if tg:
                     cands.append(tg)
@@ -284,19 +313,29 @@ def main():
             log(f"8M setup: {time.time()-t0:.0f}s (host assembly dominates)")
 
             # beyond-VMEM GMRES(30)/BiCGStab per-iteration (VERDICT item 1)
-            dt_g = slope(
-                lambda it: (
-                    lambda f=jax.jit(
-                        lambda A, bb, it=it: gmres(
-                            A, bb, tol=0.0, maxiter=it, restart=30
-                        )[1].iterations
-                    ): f(A8, b8)
-                ),
-                30, 90, reps=2,
-            )
+            def gmres8_per_iter(orthog):
+                return slope(
+                    lambda it: (
+                        lambda f=jax.jit(
+                            lambda A, bb, it=it: gmres(
+                                A, bb, tol=0.0, maxiter=it, restart=30,
+                                orthog=orthog,
+                            )[1].iterations
+                        ): f(A8, b8)
+                    ),
+                    30, 90, reps=2,
+                )
+
+            # bound: SpMV (9 planes) + single-pass CGS (2 reads of the
+            # active prefix, avg 16.5 of 31 rows) + 4 vector touches
             est_g = (9 * n8 * 4 + 2 * 16.5 * n8 * 4 + 4 * n8 * 4) / 650e9
-            log(f"gmres(30) 8M: {dt_g*1e3:.2f} ms/iter (traffic-bound ~{est_g*1e3:.2f} ms)")
+            dt_g = gmres8_per_iter("cgs2")
+            log(f"gmres(30) 8M cgs2: {dt_g*1e3:.2f} ms/iter (traffic-bound ~{est_g*1e3:.2f} ms)")
             emit("gmres30_8M_per_iteration", dt_g * 1e3, "ms", est_g / dt_g)
+            dt_ga = gmres8_per_iter("adaptive")
+            log(f"gmres(30) 8M adaptive: {dt_ga*1e3:.2f} ms/iter")
+            emit("gmres30_8M_adaptive_per_iteration", dt_ga * 1e3, "ms",
+                 est_g / dt_ga)
 
             dt_b = slope(
                 lambda it: (
@@ -321,15 +360,17 @@ def main():
             A8_64 = csr_to_dia(a8, dtype=np.float64)
             b8_64 = jnp.asarray(np.ones(n8))
             ref8 = jax.jit(
-                lambda bb: refine_device(
-                    A8_64, bb,
-                    lambda r: pcg(A8, r, M=pc8, tol=1e-5, maxiter=60,
+                lambda A64_, A_, M_, bb: refine_device(
+                    A64_, bb,
+                    lambda r: pcg(A_, r, M=M_, tol=1e-5, maxiter=60,
                                   true_residual=False),
                     tol=1e-8, max_outer=6,
                 )
             )
-            t8 = min_wall(lambda: sync(ref8(b8_64)[1].outer_iterations))
-            xr8, st8 = ref8(b8_64)
+            t8 = min_wall(
+                lambda: sync(ref8(A8_64, A8, pc8, b8_64)[1].outer_iterations)
+            )
+            xr8, st8 = ref8(A8_64, A8, pc8, b8_64)
             a8_sp = sp.csr_matrix(
                 (a8.data.astype(np.float64), a8.indices, a8.indptr), shape=a8.shape
             )
@@ -352,12 +393,15 @@ def main():
         )
         from kryst_tpu.solvers.pipelined import pipecg
 
+        # convergence/parity metric, not a speed one: f64 keeps tol=1e-6
+        # honestly reachable (the f32 floor at 64^2 is ~eps*kappa ~ 2e-4)
         mesh5 = solver_mesh(len(jax.devices()))
         a5 = gallery.poisson_2d(64)
-        A5 = csr_to_dia(a5, dtype=np.float32)
+        A5 = csr_to_dia(a5, dtype=np.float64)
         A5d, npad5 = distribute_dia(A5, mesh5)
-        b5 = pad_vector(jnp.ones(64 * 64, jnp.float32), npad5, mesh5)
-        x5, s5 = sharded_solve(pipecg, A5d, b5, mesh=mesh5, tol=1e-6)
+        b5 = pad_vector(jnp.ones(64 * 64, jnp.float64), npad5, mesh5)
+        x5, s5 = sharded_solve(pipecg, A5d, b5, mesh=mesh5, tol=1e-6,
+                               maxiter=500)
         log(
             f"config5: sharded pipecg over {len(jax.devices())} device(s): "
             f"iters={int(s5.iterations)} reached={bool(s5.reached_tol)}"

@@ -183,10 +183,14 @@ class PCConfig:
                     "apply — or call kryst_tpu.pc.sor.eisenstat_cg directly"
                 )
             if kw.get("grid") is not None:
-                from kryst_tpu.pc.diagmajor import DiagMajorSOR2D
+                g = tuple(kw["grid"])
+                if len(g) == 3:
+                    from kryst_tpu.pc.diagmajor import DiagMajorSOR3D as _DMS
+                else:
+                    from kryst_tpu.pc.diagmajor import DiagMajorSOR2D as _DMS
 
-                return DiagMajorSOR2D.setup(
-                    a_host, tuple(kw["grid"]), omega=kw.get("omega", 1.0),
+                return _DMS.setup(
+                    a_host, g, omega=kw.get("omega", 1.0),
                     its=kw.get("its", 1),
                     sweep="symmetric" if kind == "ssor" else "forward",
                     dtype=dtype, A_device=A_device,

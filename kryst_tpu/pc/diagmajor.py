@@ -473,3 +473,108 @@ class DiagMajorILU3D:
 
 
 register_dataclass(DiagMajorILU3D, data_fields=["L", "U"], meta_fields=[])
+
+
+def _extract_7pt(a: CSRMatrix, grid) -> tuple:
+    """Split a 7-point matrix on ``grid`` into per-direction coefficient
+    bricks (cI/cJ/cK lower, uI/uJ/uK upper, dg diagonal); raises on any
+    entry outside the pattern."""
+    nx, ny, nz = grid
+    shape = (nx, ny, nz)
+    cI = np.zeros(shape); cJ = np.zeros(shape); cK = np.zeros(shape)
+    uI = np.zeros(shape); uJ = np.zeros(shape); uK = np.zeros(shape)
+    dg = np.zeros(shape)
+    snz, snyz, snxyz = 1, nz, ny * nz
+    for kflat in range(nx * ny * nz):
+        i, rem = divmod(kflat, ny * nz)
+        j, k = divmod(rem, nz)
+        cols, vals = a.row(kflat)
+        for c, v in zip(cols.tolist(), vals.tolist()):
+            if c == kflat - snxyz:
+                cI[i, j, k] = v
+            elif c == kflat - snyz and j > 0:
+                cJ[i, j, k] = v
+            elif c == kflat - snz and k > 0:
+                cK[i, j, k] = v
+            elif c == kflat + snxyz:
+                uI[i, j, k] = v
+            elif c == kflat + snyz and j < ny - 1:
+                uJ[i, j, k] = v
+            elif c == kflat + snz and k < nz - 1:
+                uK[i, j, k] = v
+            elif c == kflat:
+                dg[i, j, k] = v
+            else:
+                raise ValueError(
+                    f"entry ({kflat},{c}) outside the 7-point pattern on "
+                    f"grid {grid}"
+                )
+    return cI, cJ, cK, uI, uJ, uK, dg
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagMajorSOR3D:
+    """Exact lexicographic SOR/SSOR sweeps for 7-point 3-D grids —
+    the 3-D twin of :class:`DiagMajorSOR2D` (reference sor.rs:124-170
+    semantics): ``x += (D/omega + L)^{-1} (b - A x)`` per forward sweep,
+    with the triangular solve a wavefront-plane scan (zero gathers)."""
+
+    Lfac: DiagMajorTriangular3D  # (D/omega + L)
+    Ufac: DiagMajorTriangular3D  # (D/omega + U)
+    A: object  # device operator for the residual matvec
+    its: int = dataclasses.field(metadata=dict(static=True))
+    sweep: str = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, r: Array) -> Array:
+        nx, ny, nz = self.Lfac.grid
+        x = jnp.zeros_like(r)
+        for _ in range(self.its):
+            if self.sweep in ("forward", "symmetric"):
+                res = r - self.A.matvec(x)
+                B = skew_pack_3d(res.reshape(nx, ny, nz))
+                x = x + skew_unpack_3d(
+                    self.Lfac.solve_packed(B), nx, ny, nz
+                ).reshape(nx * ny * nz)
+            if self.sweep in ("backward", "symmetric"):
+                res = r - self.A.matvec(x)
+                B = skew_pack_3d(res.reshape(nx, ny, nz))
+                x = x + skew_unpack_3d(
+                    self.Ufac.solve_packed(B), nx, ny, nz
+                ).reshape(nx * ny * nz)
+        return x
+
+    @staticmethod
+    def setup(
+        a: CSRMatrix, grid, omega: float = 1.0, its: int = 1,
+        sweep: str = "symmetric", dtype=None, A_device=None,
+    ) -> "DiagMajorSOR3D":
+        nx, ny, nz = grid
+        n = nx * ny * nz
+        if a.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match matrix n={a.shape[0]}")
+        dtype = dtype or a.data.dtype
+        cI, cJ, cK, uI, uJ, uK, dg = _extract_7pt(a, grid)
+        if (dg == 0).any():
+            raise ZeroDivisionError("zero diagonal in SOR setup")
+        dinv = skew_pack_3d_np(omega / dg).astype(dtype)
+        pk = lambda A_: jnp.asarray(skew_pack_3d_np(A_).astype(dtype))
+        Lfac = DiagMajorTriangular3D(
+            c_i=pk(cI), c_j=pk(cJ), c_k=pk(cK), dinv=jnp.asarray(dinv),
+            grid=tuple(grid), lower=True,
+        )
+        Ufac = DiagMajorTriangular3D(
+            c_i=pk(uI), c_j=pk(uJ), c_k=pk(uK), dinv=jnp.asarray(dinv),
+            grid=tuple(grid), lower=False,
+        )
+        if A_device is None:
+            from kryst_tpu.ops.dia import csr_to_dia
+
+            A_device = csr_to_dia(a, dtype=dtype)
+        return DiagMajorSOR3D(Lfac=Lfac, Ufac=Ufac, A=A_device, its=its, sweep=sweep)
+
+
+register_dataclass(
+    DiagMajorSOR3D,
+    data_fields=["Lfac", "Ufac", "A"],
+    meta_fields=["its", "sweep"],
+)

@@ -50,25 +50,80 @@ from kryst_tpu.solvers._common import (
 # shared Arnoldi/Givens machinery
 # ---------------------------------------------------------------------------
 
+# Row-chunk size for active-prefix panels. A masked full-width matmul
+# reads ALL restart+1 basis rows from HBM every Arnoldi step, so beyond
+# VMEM residency each CGS2 step paid 4 x (m+1) x n x 4 B of traffic
+# (measured 7.8 ms/iter at 8M dof, restart 30 — 2x the active-prefix
+# traffic bound). Chunking the rows and skipping whole chunks past j with
+# ``lax.cond`` (TPU conditionals execute only the taken branch) reads only
+# ceil((j+1)/8)*8 rows: the average active width over a restart cycle is
+# ~(m+1)/2, halving panel traffic at a cost of ~(m+1)/8 conditionals.
+_PANEL_CHUNK = 8
+
+
+def _active_chunks(j, mp1):
+    """Switch index: number of active row chunks minus one, for row
+    prefix 0..j."""
+    nch = -(-mp1 // _PANEL_CHUNK)
+    return jnp.minimum(j // _PANEL_CHUNK, nch - 1)
+
+
+def _chunked_panel_dots(V, w, j, axis_name, extra=None):
+    """h = (V @ w) masked to rows 0..j, reading only the row chunks that
+    intersect the active prefix: ONE ``lax.switch`` whose branch k does
+    the (8(k+1), n) prefix matmul, with the slice taken INSIDE the branch
+    so it fuses into the read (a slice captured as a branch operand
+    materializes a copy — measured slower than the full-width matmul).
+    ``extra`` (a scalar) rides the same reduction round; returns
+    (h, extra_reduced) when given."""
+    mp1 = V.shape[0]
+
+    def mk(k):
+        rows = min((k + 1) * _PANEL_CHUNK, mp1)
+
+        def br():
+            return jnp.pad(V[:rows] @ w, (0, mp1 - rows))
+
+        return br
+
+    nch = -(-mp1 // _PANEL_CHUNK)
+    h = lax.switch(_active_chunks(j, mp1), [mk(k) for k in range(nch)])
+    if extra is not None:
+        h = jnp.concatenate([h, extra[None]])
+    if axis_name is not None:
+        h = lax.psum(h, axis_name)
+    hm = h[:mp1] * (jnp.arange(mp1) <= j).astype(V.dtype)
+    return (hm, h[mp1]) if extra is not None else hm
+
+
+def _chunked_correction(V, h, j, axis_name=None):
+    """w_corr = h @ V over the active prefix: rows past j are skipped
+    (their h entries are already masked to zero)."""
+    mp1 = V.shape[0]
+
+    def mk(k):
+        rows = min((k + 1) * _PANEL_CHUNK, mp1)
+
+        def br():
+            return h[:rows] @ V[:rows]
+
+        return br
+
+    nch = -(-mp1 // _PANEL_CHUNK)
+    return lax.switch(_active_chunks(j, mp1), [mk(k) for k in range(nch)])
+
+
 def _orthogonalize_cgs2(V, w, j, axis_name=None):
     """Two-pass classical Gram-Schmidt of w against rows 0..j of V.
 
     Returns (w_orth, h) where h has length nrows(V); entries > j are 0.
-    Each pass is ONE matmul panel + ONE correction — the comm-avoiding
-    shape (a single fused reduction per pass on a mesh).
+    Each pass is ONE active-prefix panel + ONE correction — the
+    comm-avoiding shape (a single fused reduction per pass on a mesh).
     """
-    mp1 = V.shape[0]
-    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
-    h1 = V @ w
-    if axis_name is not None:
-        h1 = lax.psum(h1, axis_name)
-    h1 = h1 * mask
-    w = w - h1 @ V
-    h2 = V @ w
-    if axis_name is not None:
-        h2 = lax.psum(h2, axis_name)
-    h2 = h2 * mask
-    w = w - h2 @ V
+    h1 = _chunked_panel_dots(V, w, j, axis_name)
+    w = w - _chunked_correction(V, h1, j, axis_name)
+    h2 = _chunked_panel_dots(V, w, j, axis_name)
+    w = w - _chunked_correction(V, h2, j, axis_name)
     return w, h1 + h2
 
 
@@ -76,43 +131,31 @@ def _orthogonalize_cgs(V, w, j, axis_name=None):
     """Single-pass classical Gram-Schmidt (reference ``Orthog::Classical``,
     fgmres.rs:217-224): half the panel cost of CGS2, adequate for
     well-conditioned bases."""
-    mp1 = V.shape[0]
-    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
-    h1 = V @ w
-    if axis_name is not None:
-        h1 = lax.psum(h1, axis_name)
-    h1 = h1 * mask
-    return w - h1 @ V, h1
+    h1 = _chunked_panel_dots(V, w, j, axis_name)
+    return w - _chunked_correction(V, h1, j, axis_name), h1
 
 
 def _orthogonalize_cgs_adaptive(V, w, j, axis_name=None, eta=0.5):
     """CGS with a CONDITIONAL second pass (reference fgmres.rs:217-247
     re-orthogonalizes only when the correction is significant).
 
-    The first panel is fused with ||w||^2 (one extra row in the matmul),
-    and by Pythagoras ||w_orth||^2 = ||w||^2 - ||h1||^2, so the selective
+    By Pythagoras ||w_orth||^2 = ||w||^2 - ||h1||^2, so the selective
     re-orthogonalization criterion ||w_orth||^2 < eta * ||w||^2
-    (Rutishauser; eta = 1/2) costs no extra reduction. The second panel
-    runs inside ``lax.cond`` — skipped entirely when the basis is clean,
-    which on TPU removes the dominant GMRES panel cost in the common case.
+    (Rutishauser; eta = 1/2) costs one extra scalar reduction fused into
+    the panel psum. The second panel runs inside ``lax.cond`` — skipped
+    entirely when the basis is clean, which on TPU removes the dominant
+    GMRES panel cost in the common case.
     """
-    mp1 = V.shape[0]
-    mask = (jnp.arange(mp1) <= j).astype(V.dtype)
-    G = jnp.concatenate([V, w[None, :]]) @ w  # fused panel: [V @ w; <w,w>]
-    if axis_name is not None:
-        G = lax.psum(G, axis_name)
-    h1 = G[:mp1] * mask
-    ww = G[mp1]
-    w1 = w - h1 @ V
+    # <w,w> rides the same reduction round as the panel dots
+    h1, ww = _chunked_panel_dots(V, w, j, axis_name, extra=jnp.dot(w, w))
+    w1 = w - _chunked_correction(V, h1, j, axis_name)
     drop = ww - h1 @ h1  # = ||w1||^2 up to roundoff
     need_second = drop < eta * ww
 
     def second(args):
         w1, h1 = args
-        h2 = V @ w1
-        h2 = lax.psum(h2, axis_name) if axis_name is not None else h2
-        h2 = h2 * mask
-        return w1 - h2 @ V, h1 + h2
+        h2 = _chunked_panel_dots(V, w1, j, axis_name)
+        return w1 - _chunked_correction(V, h2, j, axis_name), h1 + h2
 
     def keep(args):
         return args

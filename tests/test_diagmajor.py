@@ -102,6 +102,31 @@ def test_ilu3d_matches_level_scheduled_exact():
     np.testing.assert_allclose(z_dm, z_ref, atol=1e-13 * np.abs(z_ref).max())
 
 
+def test_sor3d_matches_level_scheduled_exact():
+    from kryst_tpu.pc.diagmajor import DiagMajorSOR3D
+
+    a = gallery.poisson_3d(6, 9, 7)
+    r = jnp.asarray(np.random.default_rng(4).standard_normal(6 * 9 * 7))
+    ref = SORPC.setup(a, omega=1.3, its=2, sweep=SweepType.SYMMETRIC)
+    dm = DiagMajorSOR3D.setup(a, (6, 9, 7), omega=1.3, its=2, sweep="symmetric")
+    z_ref = np.asarray(ref.smooth(r))
+    z_dm = np.asarray(dm.apply(r))
+    np.testing.assert_allclose(z_dm, z_ref, atol=1e-13 * np.abs(z_ref).max())
+
+
+def test_api_dispatch_3d_ssor_grid():
+    from kryst_tpu.api import PCConfig, solve
+
+    a = gallery.poisson_3d(8)
+    b = jnp.ones(512)
+    x, s = solve(a, b, solver="pcg", pc=PCConfig.ssor(omega=1.2, grid=(8, 8, 8)),
+                 tol=1e-9, maxiter=300)
+    assert bool(s.reached_tol)
+    x2, s2 = solve(a, b, solver="pcg", pc=PCConfig.ssor(omega=1.2), tol=1e-9,
+                   maxiter=300)
+    assert int(s.iterations) == int(s2.iterations)
+
+
 def test_api_dispatch_3d_grid():
     from kryst_tpu.api import PCConfig, solve
 
