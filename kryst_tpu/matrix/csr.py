@@ -148,7 +148,13 @@ class CSRMatrix:
 
     def to_device_operator(self, dtype=None):
         """Pick the device format: DIA when the diagonal structure allows
-        (gather-free SpMV — the TPU fast path), ELL otherwise.
+        (gather-free SpMV — the TPU fast path); otherwise dense for small
+        operators (MXU matvec beats serial gathers whenever
+        m*n/650GBps < nnz*7.7ns); then the cell layout (ops/cellspmv.py,
+        one-hot MXU contractions) when its measured-rate cost model beats
+        ELL — i.e. for wide-ELL-padding matrices, NOT low-k ones (a k=7
+        expander row set runs faster as plain ELL); ELL is the format of
+        last resort.
 
         DIA stores ndiag * n entries, so the dense-plane budget is capped
         (~256 MB f32) as well as the raw offset count — a 1M-row matrix
@@ -161,4 +167,25 @@ class CSRMatrix:
             budget = max(32, 64_000_000 // max(self.shape[0], 1))
             return csr_to_dia(self, max_offsets=min(512, budget), dtype=dtype)
         except ValueError:
-            return self.to_ell(dtype=dtype)
+            pass
+        m, n = self.shape
+        nnz = len(self.data)
+        itemsize = np.dtype(dtype).itemsize if dtype is not None else self.data.dtype.itemsize
+        if m * n * itemsize <= (192 << 20) and m * n < nnz * 1250:
+            return self.to_dense_operator(dtype=dtype)
+        if nnz >= 50_000:
+            import scipy.sparse as sp
+
+            from kryst_tpu.ops.cellspmv import cells_if_faster
+
+            widths = self.row_nnz()
+            op = cells_if_faster(
+                sp.csr_matrix(
+                    (self.data, self.indices, self.indptr), shape=self.shape
+                ),
+                ell_width=int(widths.max()) if len(widths) else 1,
+                dtype=dtype or self.data.dtype,
+            )
+            if op is not None:
+                return op
+        return self.to_ell(dtype=dtype)

@@ -49,6 +49,87 @@ def _to_scipy(a: CSRMatrix) -> sp.csr_matrix:
     )
 
 
+def _filter_rap(A: sp.csr_matrix, drop_tol: float) -> sp.csr_matrix:
+    """Operator-complexity control: drop coarse-operator entries below
+    ``drop_tol`` x sqrt(rowmax_i * rowmax_j) and compensate each dropped
+    ``a_ij`` by adding ``|a_ij|`` to the diagonal of its row.
+
+    With the symmetric criterion both (i, j) and (j, i) drop together,
+    so per dropped pair the net change is ``[[e, -a], [-a, e]]`` with
+    ``e = |a|`` — positive semidefinite — hence ``A_filtered >= A`` in
+    the Loewner order and SPD is preserved (row-sum-preserving lumping
+    instead adds ``-e [[1,-1],[-1,1]]`` terms and was measured to make
+    expander coarse operators indefinite, breaking PCG immediately).
+
+    The reference never needs this because its dense-matrix multigrid
+    (amg.rs) pays n^2 regardless; here an expander-graph RAP densifies
+    levels (measured: level 2 of the 65k expander hierarchy reached
+    k = n = 4860, a 177 ms ELL matvec) and filtering is the standard
+    smoothed-aggregation countermeasure.
+    """
+    if drop_tol <= 0:
+        return A
+    coo = A.tocoo()
+    rowmax = np.zeros(A.shape[0])
+    np.maximum.at(rowmax, coo.row, np.abs(coo.data))
+    # symmetric criterion sqrt(rowmax_i * rowmax_j): a row-relative test
+    # would drop a_ij but keep a_ji, destroying the symmetry PCG needs
+    thresh = drop_tol * np.sqrt(rowmax[coo.row] * rowmax[coo.col])
+    keep = (np.abs(coo.data) >= thresh) | (coo.row == coo.col)
+    lump = np.zeros(A.shape[0])
+    np.add.at(lump, coo.row, np.where(keep, 0.0, np.abs(coo.data)))
+    Af = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
+    ) + sp.diags(lump)
+    return Af.tocsr()
+
+
+def _truncate_p(
+    P: sp.csr_matrix, drop_tol: float, max_per_row: int = 0
+) -> sp.csr_matrix:
+    """Prolongation truncation: drop |p_ij| < drop_tol x (row max) and —
+    when ``max_per_row`` is set — everything past the ``max_per_row``
+    largest entries of each row, then rescale each row so its sum is
+    preserved (constant vectors interpolate exactly, as before
+    truncation).
+
+    The row cap is what bounds SETUP cost, not just apply cost: without
+    it the expander hierarchy's smoothed P reaches ~400 entries/row and
+    the R@A@P products blow up to tens of millions of entries before
+    `_filter_rap` can prune them (measured 60s of a 73s setup at 65k)."""
+    if drop_tol <= 0 and not max_per_row:
+        return P
+    coo = P.tocoo()
+    absd = np.abs(coo.data)
+    rowmax = np.zeros(P.shape[0])
+    np.maximum.at(rowmax, coo.row, absd)
+    keep = absd >= drop_tol * rowmax[coo.row]
+    if max_per_row:
+        order = np.lexsort((-absd, coo.row))
+        row_sorted = coo.row[order]
+        starts = np.flatnonzero(
+            np.r_[True, row_sorted[1:] != row_sorted[:-1]]
+        ) if len(row_sorted) else np.zeros(0, np.int64)
+        counts = np.diff(np.r_[starts, len(row_sorted)])
+        within = np.arange(len(order)) - np.repeat(starts, counts)
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = within
+        keep &= pos < max_per_row
+    oldsum = np.zeros(P.shape[0])
+    np.add.at(oldsum, coo.row, coo.data)
+    newsum = np.zeros(P.shape[0])
+    np.add.at(newsum, coo.row, np.where(keep, coo.data, 0.0))
+    safe = np.abs(newsum) > 1e-12 * np.maximum(np.abs(oldsum), 1e-300)
+    scale = np.where(safe, oldsum / np.where(safe, newsum, 1.0), 1.0)
+    # a near-cancelling row would get a huge/sign-flipping rescale; keep
+    # such rows unscaled instead of amplifying their surviving entries
+    scale = np.where((np.abs(scale) < 0.25) | (np.abs(scale) > 4.0), 1.0, scale)
+    data = coo.data[keep] * scale[coo.row[keep]]
+    return sp.csr_matrix(
+        (data, (coo.row[keep], coo.col[keep])), shape=P.shape
+    ).tocsr()
+
+
 def _strength_matrix(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     """S(i,j) = |a_ij| / sqrt(a_ii * a_jj) > theta (amg.rs:605-658)."""
     d = np.asarray(A.diagonal())
@@ -136,6 +217,40 @@ def _smoothed_prolongation(
         rs = np.where(rs > 0, rs, 1.0)
         P = (sp.diags(1.0 / rs) @ P).tocsr()
     return P
+
+
+def _scipy_to_unstructured(A: sp.spmatrix, dtype, need_rmatvec: bool = False):
+    """Device format for a matrix with no exploitable diagonal structure.
+
+    Measured on v5e (docs/STATUS.md): per-element gathers run ~7.7 ns
+    serially, so ELL is the format of last resort. Dense MXU matvecs win
+    whenever m*n/650GBps < nnz*7.7ns (coarse AMG levels); the cell layout
+    (ops/cellspmv.py, one-hot MXU contractions) wins when its padded size
+    times 4.5 ns beats ELL's n*k slots times 8 ns — i.e. for the
+    densified wide-k levels, not the low-k ones; ELL keeps small-sparse
+    and pathological-padding cases.
+    """
+    m, n = A.shape
+    A = A.tocsr()
+    nnz = A.nnz
+    itemsize = np.dtype(dtype).itemsize if dtype is not None else 4
+    if m * n * itemsize <= (192 << 20) and m * n < nnz * 1250:
+        from kryst_tpu.core.linop import DenseOperator
+
+        return DenseOperator(jnp.asarray(np.asarray(A.todense(), dtype=dtype)))
+    if nnz >= 50_000:
+        from kryst_tpu.ops.cellspmv import cells_if_faster
+
+        widths = np.diff(A.indptr)
+        op = cells_if_faster(
+            A,
+            ell_width=int(widths.max()) if len(widths) else 1,
+            dtype=dtype,
+            transpose="auto" if need_rmatvec else "never",
+        )
+        if op is not None:
+            return op
+    return _scipy_to_ell(A, dtype)
 
 
 def _scipy_to_ell(A: sp.spmatrix, dtype) -> ELLOperator:
@@ -279,6 +394,8 @@ class AMGPC:
         fast_transfers: bool = True,
         max_dia_offsets: int = 512,
         dtype=None,
+        rap_drop_tol="auto",
+        p_drop_tol="auto",
     ) -> "AMGPC":
         """``fast_transfers``: store levels as :class:`AMGFastLevel`
         (functional agg-based transfers + DIA operators when the level's
@@ -308,9 +425,27 @@ class AMGPC:
             th = _adaptive_theta(A, theta) if adaptive_theta else theta
             agg = _aggregate(A, th)
             nc = int(agg.max()) + 1
-            if nc >= A.shape[0]:  # no coarsening progress
+            if nc >= max(1, int(0.9 * A.shape[0])):
+                # (near-)stalled: every further level costs a smoother +
+                # transfer round for <10% size reduction (the filtered
+                # expander hierarchy ground through 1084->993->950->931->
+                # 925 before this guard); stop and let the dense coarse
+                # solve take over
                 break
             P = _smoothed_prolongation(A, agg, p_omega, row_normalize)
+            # -- operator-complexity control (auto: engage only when the
+            # hierarchy densifies, so regular PDE hierarchies — and their
+            # reference-parity iteration counts — are untouched)
+            p_mean = P.nnz / max(P.shape[0], 1)
+            p_tol = (
+                (0.02 if p_mean > 16 else 0.0)
+                if p_drop_tol == "auto" else p_drop_tol
+            )
+            if p_tol:
+                P = _truncate_p(
+                    P, p_tol,
+                    max_per_row=12 if p_drop_tol == "auto" else 0,
+                )
             R = P.T.tocsr()
             d = np.asarray(A.diagonal())
             inv_d = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
@@ -319,9 +454,15 @@ class AMGPC:
                 from kryst_tpu.ops.dia import scipy_to_dia
 
                 # DIA stores ndiag * n entries: cap the dense-plane budget
-                # (~256 MB f32) as well as the raw offset count
+                # (~256 MB f32) as well as the raw offset count; ALSO cap
+                # at n/4 — a small coarse operator with hundreds of
+                # offsets "fits" the raw cap but its matvec unrolls into
+                # one shifted-add per offset (a filtered expander's
+                # 623-dof level hit ~500 offsets: minutes of XLA compile,
+                # ~25 us launch latency per offset). Such levels belong
+                # on the dense/cell path instead.
                 budget = max(32, 64_000_000 // max(A.shape[0], 1))
-                cap = min(max_dia_offsets, budget)
+                cap = min(max_dia_offsets, budget, max(32, A.shape[0] // 4))
                 try:
                     A_dia = scipy_to_dia(A, max_offsets=cap, dtype=dtype)
                 except ValueError:
@@ -346,7 +487,15 @@ class AMGPC:
                     A_dia=A_dia, perm=perm,
                 )
             )
+            fine_mean = A.nnz / max(A.shape[0], 1)
             A = (R @ A @ P).tocsr()  # RAP (amg.rs:94)
+            c_mean = A.nnz / max(A.shape[0], 1)
+            rap_tol = (
+                (0.02 if c_mean > max(32.0, 4.0 * fine_mean) else 0.0)
+                if rap_drop_tol == "auto" else rap_drop_tol
+            )
+            if rap_tol:
+                A = _filter_rap(A, rap_tol)
 
         # -------- pass 2: device levels with consistently relabeled maps.
         # If level l+1 is stored permuted by p, level l's agg values are
@@ -390,9 +539,9 @@ class AMGPC:
                     R = R[perm_next].tocsr()
                 levels.append(
                     AMGLevel(
-                        A=_scipy_to_ell(pl_["A"], dtype),
-                        P=_scipy_to_ell(P, dtype),
-                        R=_scipy_to_ell(R, dtype),
+                        A=_scipy_to_unstructured(pl_["A"].tocsr(), dtype),
+                        P=_scipy_to_unstructured(P, dtype),
+                        R=_scipy_to_unstructured(R, dtype),
                         inv_diag=jnp.asarray(pl_["inv_d"].astype(dtype)),
                     )
                 )

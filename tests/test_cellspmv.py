@@ -1,0 +1,187 @@
+"""Cell SpMV (ops/cellspmv.py): gather-free unstructured matvec.
+
+Correctness is pinned to scipy's CSR matvec on every structural shape the
+operator claims to handle: symmetric/unsymmetric, rectangular, sizes not
+multiples of the (R, W) tile, both gather modes, and the expander graph
+that defeats RCM-to-DIA (the layout this operator exists for).
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from kryst_tpu.matrix import gallery
+from kryst_tpu.ops.cellspmv import CellOperator, plan_cells, scipy_to_cells
+
+
+def _rand_sparse(m, n, density, rng, symmetric=False):
+    a = sp.random(m, n, density=density, random_state=rng, format="coo")
+    if symmetric:
+        a = (a + a.T) * 0.5
+    return sp.csr_matrix(a)
+
+
+def _check(A, op, rng, rtol=1e-12):
+    x = rng.standard_normal(A.shape[1])
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=rtol, atol=1e-12 * max(1.0, abs(A).max()))
+    xt = rng.standard_normal(A.shape[0])
+    yt = np.asarray(op.rmatvec(jnp.asarray(xt)))
+    np.testing.assert_allclose(yt, A.T @ xt, rtol=rtol, atol=1e-12 * max(1.0, abs(A).max()))
+
+
+@pytest.mark.smoke
+def test_matches_scipy_random_unsymmetric():
+    rng = np.random.default_rng(0)
+    A = _rand_sparse(700, 700, 0.01, np.random.RandomState(1))
+    op = scipy_to_cells(A, dtype=np.float64, R=64, W=128)
+    assert op.At is not None  # unsymmetric -> transpose plan
+    _check(A, op, rng)
+
+
+def test_matches_scipy_symmetric_shares_plan():
+    rng = np.random.default_rng(1)
+    A = _rand_sparse(500, 500, 0.02, np.random.RandomState(2), symmetric=True)
+    op = scipy_to_cells(A, dtype=np.float64, R=64, W=128)
+    assert op.At is None  # symmetry detected -> rmatvec rides matvec
+    _check(A, op, rng)
+
+
+def test_rectangular():
+    rng = np.random.default_rng(2)
+    A = _rand_sparse(300, 900, 0.01, np.random.RandomState(3))
+    op = scipy_to_cells(A, dtype=np.float64, R=64, W=128)
+    _check(A, op, rng)
+
+
+def test_odd_sizes_and_partial_batches():
+    # sizes far from multiples of R/W; BB forced tiny so the partial-batch
+    # padding path (dynamic_slice clamp hazard) is exercised
+    rng = np.random.default_rng(3)
+    A = _rand_sparse(517, 330, 0.03, np.random.RandomState(4))
+    op = scipy_to_cells(A, dtype=np.float64, R=32, W=64)
+    _check(A, op, rng)
+
+
+def test_gather_mode_slice_matches_table():
+    rng = np.random.default_rng(4)
+    A = _rand_sparse(400, 400, 0.02, np.random.RandomState(5))
+    op_t = scipy_to_cells(A, dtype=np.float64, R=64, W=128, gather_mode="table")
+    op_s = scipy_to_cells(A, dtype=np.float64, R=64, W=128, gather_mode="slice")
+    x = jnp.asarray(rng.standard_normal(400))
+    np.testing.assert_allclose(
+        np.asarray(op_t.matvec(x)), np.asarray(op_s.matvec(x)), rtol=1e-13
+    )
+
+
+@pytest.mark.smoke
+def test_expander_end_to_end():
+    a = gallery.expander_laplacian(2048)
+    A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    op = scipy_to_cells(A, dtype=np.float64, R=128, W=256)
+    rng = np.random.default_rng(5)
+    _check(A, op, rng)
+    # diagonal for Jacobi-type PCs
+    np.testing.assert_allclose(np.asarray(op.diagonal()), A.diagonal(), rtol=1e-13)
+
+
+def test_diagonal_and_todense():
+    A = _rand_sparse(200, 200, 0.05, np.random.RandomState(6))
+    op = scipy_to_cells(A, dtype=np.float64, R=64, W=64)
+    np.testing.assert_allclose(np.asarray(op.diagonal()), A.diagonal(), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(op.todense()), A.toarray(), rtol=1e-13)
+
+
+def test_pathological_padding_raises():
+    # one dense row: every chunk of that row becomes its own cell ->
+    # K explodes; the plan must refuse rather than silently blow memory
+    n = 4096
+    rows = np.concatenate([np.zeros(n, np.int64), np.arange(n)])
+    cols = np.concatenate([np.arange(n), np.arange(n)])
+    vals = np.ones(2 * n)
+    with pytest.raises(ValueError, match="padding|irregular"):
+        plan_cells(rows, cols, vals, (n, n), R=8, W=8, P=128,
+                   max_pad_ratio=1.5)
+
+
+def test_empty_and_tiny():
+    A = sp.csr_matrix((8, 8))
+    op = scipy_to_cells(A, dtype=np.float64)
+    y = np.asarray(op.matvec(jnp.ones(8)))
+    np.testing.assert_allclose(y, 0.0)
+
+
+def test_solver_integration_pcg():
+    """CellOperator drives pcg end-to-end (operator protocol parity)."""
+    from kryst_tpu.pc.jacobi import JacobiPC
+    from kryst_tpu.solvers.cg import pcg
+
+    a = gallery.expander_laplacian(1024)
+    A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    op = scipy_to_cells(A, dtype=np.float64, R=128, W=256)
+    b = jnp.ones(1024)
+    M = JacobiPC.setup(op)
+    x, st = pcg(op, b, M=M, tol=1e-10, maxiter=500)
+    r = b - op.matvec(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-9
+
+
+def test_to_device_operator_cost_model_picks():
+    from kryst_tpu.core.linop import DenseOperator, ELLOperator
+    from kryst_tpu.matrix.csr import CSRMatrix
+
+    # small low-k unstructured (expander, k=7): the cell plan is
+    # VMEM-resident at this size and measured 3.3x faster than ELL's
+    # serial gathers — the picker takes cells
+    a = gallery.expander_laplacian(16384)
+    op = a.to_device_operator(dtype=np.float64)
+    assert type(op).__name__ == "CellOperator", type(op).__name__
+    xs = np.random.default_rng(1).standard_normal(16384)
+    As = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(xs))),
+                               As @ xs, rtol=1e-11)
+
+    # big low-k unstructured (~410k rows): the plan would stream from HBM
+    # at ~4.5 ns/padded entry and lose to ELL's 8 ns/slot at k=7 — the
+    # pre-check must reject WITHOUT paying the host planning pass
+    big = gallery.expander_laplacian(409600)
+    opb = big.to_device_operator(dtype=np.float64)
+    assert isinstance(opb, ELLOperator)
+
+    # wide-k heavy-tail rows (1% of rows are 10x wider, like a densified
+    # AMG coarse level): ELL pads every row to k=280 and loses to cells
+    rng = np.random.default_rng(7)
+    n = 16384
+    widths = np.where(rng.random(n) < 0.01, 280, 28)
+    rows = np.repeat(np.arange(n), widths)
+    cols = rng.integers(0, n, size=len(rows))
+    vals = rng.standard_normal(len(rows))
+    w = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    opw = w.to_device_operator(dtype=np.float64)
+    assert type(opw).__name__ == "CellOperator", type(opw).__name__
+    x = rng.standard_normal(n)
+    A = sp.csr_matrix((w.data, w.indices, w.indptr), shape=w.shape)
+    np.testing.assert_allclose(np.asarray(opw.matvec(jnp.asarray(x))), A @ x,
+                               rtol=1e-11)
+
+    # small dense-ish -> dense MXU
+    d = gallery.expander_laplacian(1024, degree=64)
+    opd = d.to_device_operator(dtype=np.float64)
+    assert isinstance(opd, DenseOperator)
+
+
+def test_amg_expander_uses_cells_and_converges():
+    from kryst_tpu.pc.amg import AMGPC, AMGLevel
+    from kryst_tpu.solvers.cg import pcg
+
+    a = gallery.expander_laplacian(8192)
+    pc = AMGPC.setup(a)
+    kinds = {type(lv.A).__name__ for lv in pc.levels if isinstance(lv, AMGLevel)}
+    # at 8192 dof the fine level rides ELL or cells depending on nnz; the
+    # requirement is correctness + convergence with the new picker in place
+    b = jnp.ones(8192)
+    M = pc
+    x, st = pcg(a.to_device_operator(dtype=np.float64), b, M=M, tol=1e-8,
+                maxiter=300)
+    assert bool(st.reached_tol), (int(st.iterations), float(st.rel_residual))
