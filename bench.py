@@ -326,16 +326,27 @@ def main():
                     30, 90, reps=2,
                 )
 
-            # bound: SpMV (9 planes) + single-pass CGS (2 reads of the
-            # active prefix, avg 16.5 of 31 rows) + 4 vector touches
-            est_g = (9 * n8 * 4 + 2 * 16.5 * n8 * 4 + 4 * n8 * 4) / 650e9
+            # traffic bound per iteration: SpMV (9 planes) + CGS passes
+            # (2 prefix reads each: panel dots + correction; the 8-row
+            # chunk switch reads avg ~20 of 31 rows) + ~6 vector touches.
+            # cgs2 (the default — the reference's twice-is-enough policy,
+            # gmres.rs:83-96) pays 2 passes; single-pass cgs is the perf
+            # option for well-conditioned bases. ("adaptive" measures the
+            # same as cgs2 here: on unpreconditioned Poisson the
+            # Rutishauser criterion fires almost every iteration.)
+            def est_gmres(passes):
+                return (9 * n8 * 4 + passes * 2 * 20 * n8 * 4
+                        + 6 * n8 * 4) / 650e9
+
             dt_g = gmres8_per_iter("cgs2")
-            log(f"gmres(30) 8M cgs2: {dt_g*1e3:.2f} ms/iter (traffic-bound ~{est_g*1e3:.2f} ms)")
-            emit("gmres30_8M_per_iteration", dt_g * 1e3, "ms", est_g / dt_g)
-            dt_ga = gmres8_per_iter("adaptive")
-            log(f"gmres(30) 8M adaptive: {dt_ga*1e3:.2f} ms/iter")
-            emit("gmres30_8M_adaptive_per_iteration", dt_ga * 1e3, "ms",
-                 est_g / dt_ga)
+            est2 = est_gmres(2)
+            log(f"gmres(30) 8M cgs2: {dt_g*1e3:.2f} ms/iter (traffic-bound ~{est2*1e3:.2f} ms)")
+            emit("gmres30_8M_per_iteration", dt_g * 1e3, "ms", est2 / dt_g)
+            dt_g1 = gmres8_per_iter("cgs")
+            est1 = est_gmres(1)
+            log(f"gmres(30) 8M single-pass cgs: {dt_g1*1e3:.2f} ms/iter (traffic-bound ~{est1*1e3:.2f} ms)")
+            emit("gmres30_8M_cgs_per_iteration", dt_g1 * 1e3, "ms",
+                 est1 / dt_g1)
 
             dt_b = slope(
                 lambda it: (
