@@ -63,6 +63,19 @@ class DIAOperator:
     symmetric: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Constant-stencil fast path (ops/conststencil.py): when every diagonal
+    # is EXACTLY a constant masked by the grid boundary (detected at
+    # construction from an explicit ``grid=``), the streamed matvec needs
+    # NO coefficient traffic at all — 3x at 8M dof (measured). ``cs_coeffs``
+    # is the (ndiag,) constant vector; ``cs_deltas`` the per-offset axis
+    # decomposition; ``cs_grid`` the row-major grid shape.
+    cs_coeffs: object = None  # Optional[Array] (ndiag,)
+    cs_deltas: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    cs_grid: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -104,6 +117,7 @@ class DIAOperator:
         return DIAOperator(
             self.data, self.offsets, self.n, jnp.asarray(dblk), plan,
             self.at, self.symmetric,
+            self.cs_coeffs, self.cs_deltas, self.cs_grid,
         )
 
     def _resident(self) -> bool:
@@ -128,9 +142,25 @@ class DIAOperator:
             # f64 is EMULATED on TPU and XLA's x64-rewrite pass cannot
             # process custom_calls — f64 Pallas kernels are impossible
             # (measured: 'rewriting not implemented: pallas_call f64').
+            if self.cs_deltas is not None:
+                # constant stencil: n-D shifted slices, zero coefficient
+                # reads — the f64 refinement outer pass at 8M dof would
+                # otherwise stream 450 MB of f64 panels per residual
+                from kryst_tpu.ops.conststencil import const_spmv_xla
+
+                return const_spmv_xla(
+                    self.cs_coeffs, self.cs_deltas, self.cs_grid, x
+                )
             return dia_spmv_xla(self.data, self.offsets, x)
         if self._resident() and len(self.offsets) <= 8:
             return dia_spmv_xla(self.data, self.offsets, x)
+        if self.cs_deltas is not None:
+            # constant-stencil kernel: zero coefficient traffic (3x at 8M)
+            from kryst_tpu.ops.conststencil import const_spmv
+
+            return const_spmv(
+                self.cs_coeffs, self.offsets, self.cs_deltas, self.cs_grid, x
+            )
         from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
         if self.data_blk is not None:
@@ -179,6 +209,13 @@ class DIAOperator:
             and not self._resident()
             and self.data.dtype.itemsize < 8  # no f64 pallas on TPU
         ):
+            if self.cs_deltas is not None:
+                from kryst_tpu.ops.conststencil import const_spmv
+
+                return const_spmv(
+                    self.cs_coeffs, self.offsets, self.cs_deltas,
+                    self.cs_grid, p, with_dot=True,
+                )
             from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
             if self.data_blk is not None:
@@ -197,16 +234,24 @@ class DIAOperator:
         the unfused form."""
         if (
             not _on_cpu()
-            and self.data_blk is not None
             and self.data.dtype.itemsize < 8
             and (not self._resident() or len(self.offsets) > 8)
         ):
-            from kryst_tpu.ops.streamed import dia_spmv_planned
+            if self.cs_deltas is not None:
+                from kryst_tpu.ops.conststencil import const_spmv
 
-            return dia_spmv_planned(
-                self.data_blk, self.offsets, z, self.plan,
-                smooth_r=r, smooth_dinv=dinv, smooth_omega=float(omega),
-            )
+                return const_spmv(
+                    self.cs_coeffs, self.offsets, self.cs_deltas,
+                    self.cs_grid, z, smooth_z=z, smooth_r=r,
+                    smooth_dinv=dinv, smooth_omega=float(omega),
+                )
+            if self.data_blk is not None:
+                from kryst_tpu.ops.streamed import dia_spmv_planned
+
+                return dia_spmv_planned(
+                    self.data_blk, self.offsets, z, self.plan,
+                    smooth_r=r, smooth_dinv=dinv, smooth_omega=float(omega),
+                )
         return z + omega * dinv * (r - self.matvec(z))
 
     def diagonal(self) -> Array:
@@ -227,8 +272,8 @@ class DIAOperator:
 
 register_dataclass(
     DIAOperator,
-    data_fields=["data", "data_blk", "at"],
-    meta_fields=["offsets", "n", "plan", "symmetric"],
+    data_fields=["data", "data_blk", "at", "cs_coeffs"],
+    meta_fields=["offsets", "n", "plan", "symmetric", "cs_deltas", "cs_grid"],
 )
 
 
@@ -347,7 +392,8 @@ def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int 
 
 
 def csr_to_dia(
-    a: CSRMatrix, max_offsets: int = 512, dtype=None, transpose="auto"
+    a: CSRMatrix, max_offsets: int = 512, dtype=None, transpose="auto",
+    grid=None,
 ) -> DIAOperator:
     """Convert host CSR to DIA. Raises if the matrix has more than
     ``max_offsets`` distinct diagonals (DIA would waste too much memory)."""
@@ -368,11 +414,13 @@ def csr_to_dia(
     # vectorized scatter (a Python loop over nnz costs minutes at 8M dof)
     krow = np.searchsorted(offs, A.col - A.row)
     np.add.at(data, (krow, A.row), A.data.astype(dtype))
-    return _make_dia(data, tuple(int(o) for o in offs), n, transpose=transpose)
+    return _make_dia(
+        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid
+    )
 
 
 def scipy_to_dia(
-    A, max_offsets: int = 512, dtype=np.float32, transpose="auto"
+    A, max_offsets: int = 512, dtype=np.float32, transpose="auto", grid=None
 ) -> DIAOperator:
     """scipy.sparse -> DIAOperator (row-major diagonal convention)."""
     import scipy.sparse as sp
@@ -389,10 +437,14 @@ def scipy_to_dia(
         (np.array([pos[int(o)] for o in (coo.col - coo.row)]), coo.row),
         coo.data.astype(dtype),
     )
-    return _make_dia(data, tuple(int(o) for o in offs), n, transpose=transpose)
+    return _make_dia(
+        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid
+    )
 
 
-def _make_dia(data: np.ndarray, offsets, n: int, transpose="auto") -> DIAOperator:
+def _make_dia(
+    data: np.ndarray, offsets, n: int, transpose="auto", grid=None
+) -> DIAOperator:
     """Build the operator; attach the streaming-kernel layout eagerly when
     the working set is beyond the VMEM-residency threshold (the streaming
     path is the hot path there, and the layout must be built outside jit).
@@ -412,14 +464,29 @@ def _make_dia(data: np.ndarray, offsets, n: int, transpose="auto") -> DIAOperato
         data_t, offs_t = dia_transpose_host(np.asarray(data), offsets, n)
         symmetric = offs_t == offsets and np.array_equal(data_t, np.asarray(data))
         if not symmetric and (streaming or transpose is True):
-            at = _make_dia(data_t, offs_t, n, transpose=False)
-    if streaming:
+            at = _make_dia(data_t, offs_t, n, transpose=False, grid=grid)
+    cs_coeffs = cs_deltas = cs_grid = None
+    # detect for EVERY dtype: f32 beyond-VMEM uses the Pallas kernel,
+    # f64/CPU use the shifted-slice XLA form (const_spmv_xla)
+    if grid is not None:
+        from kryst_tpu.ops.conststencil import detect_stencil
+
+        det = detect_stencil(np.asarray(data), offsets, tuple(grid))
+        if det is not None:
+            cs_coeffs = jnp.asarray(det[0])
+            cs_deltas = det[1]
+            cs_grid = tuple(int(g) for g in grid)
+    if streaming and cs_deltas is None:
         # (f64 never uses the streamed kernel -- see matvec -- so don't
-        # spend 2x memory on a layout it can't use)
+        # spend 2x memory on a layout it can't use; the const-stencil
+        # path reads no coefficient panels so it skips the layout too)
         from kryst_tpu.ops.streamed import plan_dia
 
         dblk, plan = plan_dia(data, offsets)
         return DIAOperator(
             op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric
         )
-    return DIAOperator(op.data, offsets, n, None, None, at, symmetric)
+    return DIAOperator(
+        op.data, offsets, n, None, None, at, symmetric,
+        cs_coeffs, cs_deltas, cs_grid,
+    )

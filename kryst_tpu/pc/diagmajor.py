@@ -41,6 +41,11 @@ from jax.tree_util import register_dataclass
 
 from kryst_tpu.matrix.csr import CSRMatrix
 
+# Antidiagonal levels processed per lax.scan step (see
+# DiagMajorTriangular2D.solve_packed). 16 amortizes the measured ~1.4 us
+# per-step overhead to <0.1 us/level while keeping compile size modest.
+_UNROLL = 16
+
 
 def skew_pack(X: Array) -> Array:
     """(nx, ny) -> (nx+ny-1, nx) with out[d, i] = X[i, d - i] (else 0).
@@ -93,32 +98,54 @@ class DiagMajorTriangular2D:
     lower: bool = dataclasses.field(metadata=dict(static=True))
 
     def solve_packed(self, B: Array) -> Array:
-        """B: (nlev, nx) packed rhs -> packed solution."""
+        """B: (nlev, nx) packed rhs -> packed solution.
+
+        The scan processes ``_UNROLL`` antidiagonal levels per step: each
+        level is only ~6 VPU ops on an (nx,) vector, so the per-step scan
+        overhead (~1.4 us measured at 256^2) dominates an unblocked scan
+        16-fold. Blocking amortizes it without changing the arithmetic —
+        the inner levels run sequentially in registers, same FMAs, same
+        order (still byte-comparable to sequential substitution)."""
         nx = self.grid[0]
         zero = jnp.zeros((1,), dtype=B.dtype)
+        nlev = B.shape[0]
+        K = min(_UNROLL, nlev)
+        nsteps = -(-nlev // K)
+        pad = nsteps * K - nlev
+
+        def blk(a):
+            # zero-pad the level axis; padded levels have all-zero
+            # coefficients AND dinv, so they solve to exactly 0
+            return jnp.pad(a, ((0, pad), (0, 0))).reshape(nsteps, K, -1)
+
+        Bb, cab, cub, dib = blk(B), blk(self.c_ax), blk(self.c_un), blk(self.dinv)
+        order = range(K) if self.lower else range(K - 1, -1, -1)
 
         if self.lower:
 
-            def step(xprev, inp):
-                b, ca, cu, di = inp
-                x_ax = jnp.concatenate([zero, xprev[:-1]])  # position i-1
-                xd = (b - ca * x_ax - cu * xprev) * di
-                return xd, xd
+            def substep(x, b, ca, cu, di):
+                x_ax = jnp.concatenate([zero, x[:-1]])  # position i-1
+                return (b - ca * x_ax - cu * x) * di
 
         else:
 
-            def step(xnext, inp):
-                b, ca, cu, di = inp
-                x_ax = jnp.concatenate([xnext[1:], zero])  # position i+1
-                xd = (b - ca * x_ax - cu * xnext) * di
-                return xd, xd
+            def substep(x, b, ca, cu, di):
+                x_ax = jnp.concatenate([x[1:], zero])  # position i+1
+                return (b - ca * x_ax - cu * x) * di
+
+        def step(x, inp):
+            b, ca, cu, di = inp
+            rows = [None] * K
+            for k in order:
+                x = substep(x, b[k], ca[k], cu[k], di[k])
+                rows[k] = x
+            return x, jnp.stack(rows)
 
         init = jnp.zeros((nx,), dtype=B.dtype)
         _, X = lax.scan(
-            step, init, (B, self.c_ax, self.c_un, self.dinv),
-            reverse=not self.lower,
+            step, init, (Bb, cab, cub, dib), reverse=not self.lower
         )
-        return X
+        return X.reshape(nsteps * K, -1)[:nlev]
 
     def solve(self, b: Array) -> Array:
         nx, ny = self.grid
@@ -365,31 +392,52 @@ class DiagMajorTriangular3D:
     lower: bool = dataclasses.field(metadata=dict(static=True))
 
     def solve_packed(self, B: Array) -> Array:
+        # blocked like the 2-D solve: _UNROLL wavefront planes per scan
+        # step, identical arithmetic (see DiagMajorTriangular2D)
+        nx, ny, _ = self.grid
+        nlev = B.shape[0]
+        K = min(_UNROLL, nlev)
+        nsteps = -(-nlev // K)
+        pad = nsteps * K - nlev
+
+        def blk(a):
+            return jnp.pad(a, ((0, pad), (0, 0), (0, 0))).reshape(
+                nsteps, K, nx, ny
+            )
+
+        Bb = blk(B)
+        cib, cjb, ckb, dib = (
+            blk(self.c_i), blk(self.c_j), blk(self.c_k), blk(self.dinv)
+        )
+        order = range(K) if self.lower else range(K - 1, -1, -1)
+
         if self.lower:
 
-            def step(xp, inp):
-                b, ci, cj, ck, di = inp
-                xi = jnp.pad(xp[:-1], ((1, 0), (0, 0)))   # (i-1, j)
-                xj = jnp.pad(xp[:, :-1], ((0, 0), (1, 0)))  # (i, j-1)
-                xd = (b - ci * xi - cj * xj - ck * xp) * di
-                return xd, xd
+            def substep(x, b, ci, cj, ck, di):
+                xi = jnp.pad(x[:-1], ((1, 0), (0, 0)))      # (i-1, j)
+                xj = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))   # (i, j-1)
+                return (b - ci * xi - cj * xj - ck * x) * di
 
         else:
 
-            def step(xn, inp):
-                b, ci, cj, ck, di = inp
-                xi = jnp.pad(xn[1:], ((0, 1), (0, 0)))    # (i+1, j)
-                xj = jnp.pad(xn[:, 1:], ((0, 0), (0, 1)))  # (i, j+1)
-                xd = (b - ci * xi - cj * xj - ck * xn) * di
-                return xd, xd
+            def substep(x, b, ci, cj, ck, di):
+                xi = jnp.pad(x[1:], ((0, 1), (0, 0)))       # (i+1, j)
+                xj = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))    # (i, j+1)
+                return (b - ci * xi - cj * xj - ck * x) * di
 
-        nx, ny, _ = self.grid
+        def step(x, inp):
+            b, ci, cj, ck, di = inp
+            rows = [None] * K
+            for k in order:
+                x = substep(x, b[k], ci[k], cj[k], ck[k], di[k])
+                rows[k] = x
+            return x, jnp.stack(rows)
+
         init = jnp.zeros((nx, ny), dtype=B.dtype)
         _, X = lax.scan(
-            step, init, (B, self.c_i, self.c_j, self.c_k, self.dinv),
-            reverse=not self.lower,
+            step, init, (Bb, cib, cjb, ckb, dib), reverse=not self.lower
         )
-        return X
+        return X.reshape(nsteps * K, nx, ny)[:nlev]
 
     def solve(self, b: Array) -> Array:
         nx, ny, nz = self.grid

@@ -237,7 +237,10 @@ class GMGPC:
                 P = (P0 - p_omega * (sp.diags(dinv) @ (A @ P0))).tocsr()
             else:
                 P = P0
-            Ad = scipy_to_dia(A, max_offsets=max_offsets, dtype=dtype)
+            # grid= enables the constant-stencil fast path (zero
+            # coefficient traffic) on levels whose RAP stays exactly
+            # constant-coefficient — L0 of the BASELINE Poisson configs
+            Ad = scipy_to_dia(A, max_offsets=max_offsets, dtype=dtype, grid=fine)
             asym = float(abs(A - A.T).max()) if A.nnz else 0.0
             sym = asym <= 1e-12 * max(1.0, float(abs(A).max()))
             if coeff_dtype is not None and Ad.data_blk is not None:
@@ -245,7 +248,9 @@ class GMGPC:
             Adt = (
                 Ad
                 if sym
-                else scipy_to_dia(A.T.tocsr(), max_offsets=max_offsets, dtype=dtype)
+                else scipy_to_dia(
+                    A.T.tocsr(), max_offsets=max_offsets, dtype=dtype, grid=fine
+                )
             )
             if coeff_dtype is not None and Adt is not Ad and Adt.data_blk is not None:
                 Adt = Adt.planned(blk_dtype=coeff_dtype)
