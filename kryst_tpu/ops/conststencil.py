@@ -77,17 +77,21 @@ def decompose_offset(
 def detect_stencil(
     data: np.ndarray, offsets: Tuple[int, ...], grid: Tuple[int, ...],
     reach: int = 8,
-) -> Optional[Tuple[np.ndarray, Tuple[Tuple[int, ...], ...]]]:
-    """(coeffs, per-offset deltas) if every diagonal is EXACTLY a constant
-    masked by the grid boundary, else None.
+) -> Optional[Tuple[np.ndarray, Tuple[Tuple[int, ...], ...], bool]]:
+    """(coeffs, per-offset deltas, pallas_ok) if every diagonal is EXACTLY
+    a constant masked by the grid boundary, else None.
 
     Exactness is bitwise (==), so substituting the stencil kernel for the
     DIA kernel changes nothing but float summation order.
+
+    ``pallas_ok`` reports whether the Pallas kernel's lane-geometry
+    restriction holds (every MASKED inner axis >= 128 wide). When False
+    the shifted-slice XLA form (const_spmv_xla) is still exact and
+    panel-free — the right call for f64 refinement outer passes on
+    narrow grids (e.g. 100^3) — but const_spmv must not be used.
     """
     if len(grid) < 2 or int(np.prod(grid)) != data.shape[1]:
         return None
-    # inner masked axes must be >= 128 wide for the kernel's single-carry
-    # coordinate reconstruction (see module docstring)
     deltas = []
     for off in offsets:
         d = decompose_offset(int(off), grid, reach)
@@ -110,13 +114,14 @@ def detect_stencil(
         if nz_total != nz_core:
             return None
         coeffs[k] = c
-    # kernel restriction: any axis that actually needs a mask (nonzero
-    # delta on a non-slowest axis) must be >= 128 wide
-    for d in deltas:
-        for ax in range(1, len(grid)):
-            if d[ax] != 0 and grid[ax] < 128:
-                return None
-    return coeffs, tuple(deltas)
+    # Pallas-kernel restriction: any axis that actually needs a mask
+    # (nonzero delta on a non-slowest axis) must be >= 128 wide for the
+    # kernel's single-carry coordinate reconstruction
+    pallas_ok = all(
+        d[ax] == 0 or grid[ax] >= 128
+        for d in deltas for ax in range(1, len(grid))
+    )
+    return coeffs, tuple(deltas), pallas_ok
 
 
 def const_spmv_xla(

@@ -76,6 +76,11 @@ class DIAOperator:
     cs_grid: object = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # whether the Pallas const kernel's lane geometry holds (masked inner
+    # axes >= 128); the XLA form is usable regardless of this flag
+    cs_pallas: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -117,7 +122,7 @@ class DIAOperator:
         return DIAOperator(
             self.data, self.offsets, self.n, jnp.asarray(dblk), plan,
             self.at, self.symmetric,
-            self.cs_coeffs, self.cs_deltas, self.cs_grid,
+            self.cs_coeffs, self.cs_deltas, self.cs_grid, self.cs_pallas,
         )
 
     def _resident(self) -> bool:
@@ -154,7 +159,7 @@ class DIAOperator:
             return dia_spmv_xla(self.data, self.offsets, x)
         if self._resident() and len(self.offsets) <= 8:
             return dia_spmv_xla(self.data, self.offsets, x)
-        if self.cs_deltas is not None:
+        if self.cs_pallas:
             # constant-stencil kernel: zero coefficient traffic (3x at 8M)
             from kryst_tpu.ops.conststencil import const_spmv
 
@@ -209,7 +214,7 @@ class DIAOperator:
             and not self._resident()
             and self.data.dtype.itemsize < 8  # no f64 pallas on TPU
         ):
-            if self.cs_deltas is not None:
+            if self.cs_pallas:
                 from kryst_tpu.ops.conststencil import const_spmv
 
                 return const_spmv(
@@ -237,7 +242,7 @@ class DIAOperator:
             and self.data.dtype.itemsize < 8
             and (not self._resident() or len(self.offsets) > 8)
         ):
-            if self.cs_deltas is not None:
+            if self.cs_pallas:
                 from kryst_tpu.ops.conststencil import const_spmv
 
                 return const_spmv(
@@ -273,7 +278,8 @@ class DIAOperator:
 register_dataclass(
     DIAOperator,
     data_fields=["data", "data_blk", "at", "cs_coeffs"],
-    meta_fields=["offsets", "n", "plan", "symmetric", "cs_deltas", "cs_grid"],
+    meta_fields=["offsets", "n", "plan", "symmetric", "cs_deltas", "cs_grid",
+                 "cs_pallas"],
 )
 
 
@@ -466,8 +472,10 @@ def _make_dia(
         if not symmetric and (streaming or transpose is True):
             at = _make_dia(data_t, offs_t, n, transpose=False, grid=grid)
     cs_coeffs = cs_deltas = cs_grid = None
-    # detect for EVERY dtype: f32 beyond-VMEM uses the Pallas kernel,
-    # f64/CPU use the shifted-slice XLA form (const_spmv_xla)
+    cs_pallas = False
+    # detect for EVERY dtype: f32 beyond-VMEM uses the Pallas kernel
+    # (when the lane geometry allows), f64/CPU use the shifted-slice XLA
+    # form (const_spmv_xla) regardless
     if grid is not None:
         from kryst_tpu.ops.conststencil import detect_stencil
 
@@ -476,17 +484,21 @@ def _make_dia(
             cs_coeffs = jnp.asarray(det[0])
             cs_deltas = det[1]
             cs_grid = tuple(int(g) for g in grid)
-    if streaming and cs_deltas is None:
+            cs_pallas = bool(det[2])
+    if streaming and not cs_pallas:
         # (f64 never uses the streamed kernel -- see matvec -- so don't
         # spend 2x memory on a layout it can't use; the const-stencil
-        # path reads no coefficient panels so it skips the layout too)
+        # Pallas path reads no coefficient panels so it skips the layout
+        # too; narrow-grid const operators keep the planned layout for
+        # the f32 streaming path)
         from kryst_tpu.ops.streamed import plan_dia
 
         dblk, plan = plan_dia(data, offsets)
         return DIAOperator(
-            op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric
+            op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric,
+            cs_coeffs, cs_deltas, cs_grid, cs_pallas,
         )
     return DIAOperator(
         op.data, offsets, n, None, None, at, symmetric,
-        cs_coeffs, cs_deltas, cs_grid,
+        cs_coeffs, cs_deltas, cs_grid, cs_pallas,
     )
