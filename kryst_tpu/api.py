@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -339,12 +340,14 @@ def _resolve_pc(pc, a_host, A_device, dtype):
     raise TypeError(f"cannot interpret preconditioner: {pc!r}")
 
 
-def _f64_operator(A, a_host):
+def _f64_operator(A, a_host, grid=None):
     """Best-effort f64 version of the operator for refinement outer loops.
 
     Prefers rebuilding from the host CSR (exact); otherwise casts every
     float leaf of the operator pytree to f64 (valid for DIA/ELL/Dense/
     stencil operators — matvec dispatch routes f64 through the XLA path).
+    ``grid`` enables const-stencil detection: the f64 outer residual then
+    reads NO coefficient panels (ops/conststencil.py::const_spmv_xla).
     Returns None when no f64 operator can be certified.
     """
     import jax
@@ -353,7 +356,7 @@ def _f64_operator(A, a_host):
         try:
             from kryst_tpu.ops.dia import csr_to_dia
 
-            return csr_to_dia(a_host, dtype=jnp.float64)
+            return csr_to_dia(a_host, dtype=jnp.float64, grid=grid)
         except ValueError:
             return a_host.to_ell(dtype=jnp.float64)
     A64 = jax.tree_util.tree_map(
@@ -379,6 +382,7 @@ def solve(
     maxiter: Optional[int] = None,
     restart: int = 30,
     refine: Any = "auto",
+    grid=None,
     **options,
 ):
     """One-call functional entry point (the ``solve_context`` analogue,
@@ -399,16 +403,26 @@ def solve(
     instead of a silent ``reached_tol=False``. No effect on f64 inputs,
     direct solves, or when ``solve`` is called under ``jax.jit`` (stats
     are traced; use refine_device explicitly there).
+
+    ``grid``: the structured row-major grid shape indexing ``A``'s rows,
+    when there is one (e.g. ``(nx, ny, nz)``). Enables exact
+    constant-stencil detection on the device operator (the
+    zero-coefficient-traffic matvec, ops/conststencil.py). Defaults to
+    the PC config's own ``grid`` parameter when that matches ``A``.
     """
     kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
     b = jnp.asarray(b)
     dtype = b.dtype
+    if grid is None and isinstance(pc, PCConfig):
+        g = dict(pc.params).get("grid")
+        if g is not None and math.prod(g) == b.shape[0]:
+            grid = g
     if isinstance(A, CSRMatrix):
         a_host = A
         # The device operator follows b's dtype (an f64-assembled host
         # matrix with an f32 rhs previously produced a dtype-mismatched
         # solver carry).
-        A = A.to_device_operator(dtype=dtype)
+        A = A.to_device_operator(dtype=dtype, grid=grid)
     A = as_operator(A)
 
     # solvers that take no preconditioner: a supplied pc would be silently
@@ -506,13 +520,14 @@ def solve(
 
     x, stats = _dispatch(A, b, x0, tol, mi)
     x, stats = _floor_policy(
-        x, stats, _dispatch, A, b, x0, a_host, kind, tol, mi, refine, options
+        x, stats, _dispatch, A, b, x0, a_host, kind, tol, mi, refine, options,
+        grid=grid,
     )
     return x, stats
 
 
 def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
-                  refine, options):
+                  refine, options, grid=None):
     """Post-solve handling of the low-precision true-residual floor.
 
     VERDICT r2 item 7: ``solve(tol=1e-8)`` in f32 must never return a
@@ -554,7 +569,7 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
         )
         return x, stats
     f64_ok = jnp.zeros((), jnp.float64).dtype == jnp.float64
-    A64 = _f64_operator(A, a_host) if f64_ok else None
+    A64 = _f64_operator(A, a_host, grid=grid) if f64_ok else None
     if A64 is None:
         warnings.warn(
             f"solve(tol={tol:g}) stalled at the f32 true-residual floor "

@@ -146,7 +146,7 @@ class CSRMatrix:
 
         return DenseOperator(jnp.asarray(self.todense(), dtype=dtype))
 
-    def to_device_operator(self, dtype=None):
+    def to_device_operator(self, dtype=None, grid=None):
         """Pick the device format: DIA when the diagonal structure allows
         (gather-free SpMV — the TPU fast path); otherwise dense for small
         operators (MXU matvec beats serial gathers whenever
@@ -165,7 +165,12 @@ class CSRMatrix:
 
         try:
             budget = max(32, 64_000_000 // max(self.shape[0], 1))
-            return csr_to_dia(self, max_offsets=min(512, budget), dtype=dtype)
+            # grid= (structured row-major shape) enables exact
+            # constant-stencil detection -> the zero-coefficient-traffic
+            # matvec (ops/conststencil.py)
+            return csr_to_dia(
+                self, max_offsets=min(512, budget), dtype=dtype, grid=grid
+            )
         except ValueError:
             pass
         m, n = self.shape

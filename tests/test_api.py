@@ -275,3 +275,32 @@ def test_ca_gmres_newton_matches_gmres_iterspace():
     _, sg = gmres(A, b, restart=30, tol=1e-8, maxiter=2000)
     assert bool(st.reached_tol) and bool(sg.reached_tol)
     assert int(st.iterations) <= int(sg.iterations) + 2 * 30  # within 2 cycles
+
+
+def test_solve_grid_enables_const_stencil():
+    """solve(grid=...) builds the device operator with const-stencil
+    detection; the PC config's own grid is reused when none is given."""
+    import scipy.sparse as sp
+
+    from kryst_tpu.matrix.csr import CSRMatrix
+
+    def lap1(n):
+        return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+
+    gx, gy = 9, 144
+    A2 = (sp.kron(lap1(gx), sp.eye(gy)) + sp.kron(sp.eye(gx), lap1(gy))).tocsr()
+    a = CSRMatrix(data=A2.data, indices=A2.indices, indptr=A2.indptr,
+                  shape=A2.shape)
+    # explicit grid kwarg
+    op = a.to_device_operator(dtype=jnp.float64, grid=(gx, gy))
+    assert op.cs_deltas is not None
+    x, st = solve(a, jnp.ones(gx * gy), solver="pcg", pc="jacobi",
+                  tol=1e-8, maxiter=2000, grid=(gx, gy))
+    assert bool(st.reached_tol)
+    r = jnp.ones(gx * gy) - op.matvec(x)
+    assert float(jnp.linalg.norm(r)) / np.sqrt(gx * gy) < 1e-7
+    # grid inferred from the PC config (exact SSOR sweeps need it anyway)
+    x2, st2 = solve(a, jnp.ones(gx * gy), solver="pcg",
+                    pc=PCConfig.ssor(omega=1.0, grid=(gx, gy)),
+                    tol=1e-8, maxiter=2000)
+    assert bool(st2.reached_tol)
