@@ -370,7 +370,10 @@ def main():
                 a8, grid=(200, 200, 200), nu_pre=2, nu_post=2, dtype=np.float32
             )
             log(f"GMG 8M setup: {time.time()-t0:.0f}s")
-            A8_64 = csr_to_dia(a8, dtype=np.float64)
+            # grid= here too: the f64 OUTER residual then uses the
+            # panel-free const_spmv_xla form instead of streaming 450 MB
+            # of f64 panels per refinement pass
+            A8_64 = csr_to_dia(a8, dtype=np.float64, grid=(200, 200, 200))
             b8_64 = jnp.asarray(np.ones(n8))
             ref8 = jax.jit(
                 lambda A64_, A_, M_, bb: refine_device(

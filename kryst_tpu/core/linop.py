@@ -276,15 +276,20 @@ class FunctionOperator:
 _register(FunctionOperator, [], ["mv", "rmv", "shape"])
 
 
-def as_operator(a):
+def as_operator(a, dtype=None):
     """Coerce an array / operator-like object to a LinearOperator.
 
     Host ``CSRMatrix`` assemblies are converted to the preferred device
     format (DIA when the diagonal structure allows, ELL otherwise) so
     every solver entry point accepts them, not just ``solve()``.
+
+    ``dtype`` applies only to that host->device conversion (solvers pass
+    the rhs dtype so an f64-assembled CSR with an f32 rhs does not
+    produce a dtype-mismatched solver carry); existing device operators
+    are returned as-is, never cast.
     """
     if hasattr(a, "to_device_operator"):  # host CSRMatrix (duck-typed)
-        return a.to_device_operator()
+        return a.to_device_operator(dtype=dtype)
     if hasattr(a, "matvec"):
         return a
     arr = jnp.asarray(a)

@@ -173,24 +173,13 @@ class CSRMatrix:
             )
         except ValueError:
             pass
-        m, n = self.shape
-        nnz = len(self.data)
-        itemsize = np.dtype(dtype).itemsize if dtype is not None else self.data.dtype.itemsize
-        if m * n * itemsize <= (192 << 20) and m * n < nnz * 1250:
-            return self.to_dense_operator(dtype=dtype)
-        if nnz >= 50_000:
-            import scipy.sparse as sp
+        import scipy.sparse as sp
 
-            from kryst_tpu.ops.cellspmv import cells_if_faster
+        from kryst_tpu.matrix.formats import pick_unstructured
 
-            widths = self.row_nnz()
-            op = cells_if_faster(
-                sp.csr_matrix(
-                    (self.data, self.indices, self.indptr), shape=self.shape
-                ),
-                ell_width=int(widths.max()) if len(widths) else 1,
-                dtype=dtype or self.data.dtype,
-            )
-            if op is not None:
-                return op
-        return self.to_ell(dtype=dtype)
+        return pick_unstructured(
+            sp.csr_matrix(
+                (self.data, self.indices, self.indptr), shape=self.shape
+            ),
+            dtype or self.data.dtype,
+        )

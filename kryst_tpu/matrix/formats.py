@@ -1,0 +1,84 @@
+"""Shared device-format selection for UNSTRUCTURED matrices.
+
+One copy of the measured cost model (previously duplicated by
+CSRMatrix.to_device_operator and pc/amg.py, where the two copies had
+already drifted — r3 review finding). Measured on v5e (docs/STATUS.md):
+
+- per-element XLA gathers run ~7.7 ns serially, so ELL is the format of
+  last resort;
+- a dense MXU matvec wins whenever streaming the dense plane beats the
+  gathers: m*n*itemsize/650GBps < nnz*7.7ns, i.e.
+  m*n < nnz * (7.7e-9 * 650e9 / itemsize) ~= nnz * 5000/itemsize
+  (1250 for f32 — the previously hardcoded constant — 625 for f64);
+- the cell layout (ops/cellspmv.py, one-hot MXU contractions) wins when
+  its padded size times ~4.5 ns beats ELL's n*k slots times ~8 ns — the
+  densified wide-k cases, not low-k ones (a k=7 expander row set runs
+  faster as plain ELL); its own cost model decides (cells_if_faster).
+
+DIA/const-stencil detection happens BEFORE this cascade (callers try
+csr_to_dia first); this module only picks among dense/cells/ELL.
+
+Reference parity: replaces the reference's densifying mat_vec fallback
+(src/matrix/sparse.rs:56-67) with measured-rate format dispatch.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# dense plane budget: beyond this, even a winning dense matvec would
+# crowd out the solver working set
+_DENSE_BYTES_CAP = 192 << 20
+# gather-vs-stream breakeven numerator: 7.7 ns/element * 650 GB/s
+_BREAKEVEN_BYTES = 5000
+
+
+def scipy_to_ell(A, dtype):
+    """scipy CSR -> ELLOperator (zero-padded rows, int32 columns)."""
+    from kryst_tpu.core.linop import ELLOperator
+
+    A = A.tocsr()
+    A.sum_duplicates()
+    widths = np.diff(A.indptr)
+    k = max(int(widths.max()) if len(widths) else 1, 1)
+    n = A.shape[0]
+    data = np.zeros((n, k), dtype=dtype)
+    cols = np.zeros((n, k), dtype=np.int32)
+    rows_of_nnz = np.repeat(np.arange(n), widths)
+    pos_in_row = np.arange(A.nnz) - np.repeat(A.indptr[:-1], widths)
+    data[rows_of_nnz, pos_in_row] = A.data
+    cols[rows_of_nnz, pos_in_row] = A.indices
+    return ELLOperator(jnp.asarray(data), jnp.asarray(cols), A.shape)
+
+
+def pick_unstructured(A, dtype, need_rmatvec: bool = True):
+    """Dense -> cells -> ELL cascade for a scipy sparse matrix.
+
+    ``need_rmatvec``: build the transposed plan for the cell layout
+    ("auto"); pass False for operators used matvec-only (e.g. AMG
+    transfer operators on the symmetric path) to halve plan memory.
+    """
+    from kryst_tpu.core.linop import DenseOperator
+
+    A = A.tocsr()
+    if dtype is None:
+        dtype = A.data.dtype
+    m, n = A.shape
+    nnz = A.nnz
+    itemsize = np.dtype(dtype).itemsize
+    breakeven = max(_BREAKEVEN_BYTES // itemsize, 1)
+    if m * n * itemsize <= _DENSE_BYTES_CAP and m * n < nnz * breakeven:
+        return DenseOperator(jnp.asarray(np.asarray(A.todense(), dtype=dtype)))
+    if nnz >= 50_000:
+        from kryst_tpu.ops.cellspmv import cells_if_faster
+
+        widths = np.diff(A.indptr)
+        op = cells_if_faster(
+            A,
+            ell_width=int(widths.max()) if len(widths) else 1,
+            dtype=dtype,
+            transpose="auto" if need_rmatvec else "never",
+        )
+        if op is not None:
+            return op
+    return scipy_to_ell(A, dtype)

@@ -222,50 +222,20 @@ def _smoothed_prolongation(
 def _scipy_to_unstructured(A: sp.spmatrix, dtype, need_rmatvec: bool = False):
     """Device format for a matrix with no exploitable diagonal structure.
 
-    Measured on v5e (docs/STATUS.md): per-element gathers run ~7.7 ns
-    serially, so ELL is the format of last resort. Dense MXU matvecs win
-    whenever m*n/650GBps < nnz*7.7ns (coarse AMG levels); the cell layout
-    (ops/cellspmv.py, one-hot MXU contractions) wins when its padded size
-    times 4.5 ns beats ELL's n*k slots times 8 ns — i.e. for the
-    densified wide-k levels, not the low-k ones; ELL keeps small-sparse
-    and pathological-padding cases.
+    Thin wrapper over the SHARED cost-model cascade
+    (kryst_tpu/matrix/formats.py): dense MXU matvec -> cell layout ->
+    ELL, all thresholds measured on v5e. AMG transfer operators default
+    to matvec-only plans (need_rmatvec=False) to halve plan memory.
     """
-    m, n = A.shape
-    A = A.tocsr()
-    nnz = A.nnz
-    itemsize = np.dtype(dtype).itemsize if dtype is not None else 4
-    if m * n * itemsize <= (192 << 20) and m * n < nnz * 1250:
-        from kryst_tpu.core.linop import DenseOperator
+    from kryst_tpu.matrix.formats import pick_unstructured
 
-        return DenseOperator(jnp.asarray(np.asarray(A.todense(), dtype=dtype)))
-    if nnz >= 50_000:
-        from kryst_tpu.ops.cellspmv import cells_if_faster
-
-        widths = np.diff(A.indptr)
-        op = cells_if_faster(
-            A,
-            ell_width=int(widths.max()) if len(widths) else 1,
-            dtype=dtype,
-            transpose="auto" if need_rmatvec else "never",
-        )
-        if op is not None:
-            return op
-    return _scipy_to_ell(A, dtype)
+    return pick_unstructured(A, dtype, need_rmatvec=need_rmatvec)
 
 
 def _scipy_to_ell(A: sp.spmatrix, dtype) -> ELLOperator:
-    A = A.tocsr()
-    A.sum_duplicates()
-    widths = np.diff(A.indptr)
-    k = max(int(widths.max()) if len(widths) else 1, 1)
-    n = A.shape[0]
-    data = np.zeros((n, k), dtype=dtype)
-    cols = np.zeros((n, k), dtype=np.int32)
-    rows_of_nnz = np.repeat(np.arange(n), widths)
-    pos_in_row = np.arange(A.nnz) - np.repeat(A.indptr[:-1], widths)
-    data[rows_of_nnz, pos_in_row] = A.data
-    cols[rows_of_nnz, pos_in_row] = A.indices
-    return ELLOperator(jnp.asarray(data), jnp.asarray(cols), A.shape)
+    from kryst_tpu.matrix.formats import scipy_to_ell
+
+    return scipy_to_ell(A, dtype)
 
 
 # ---------------------------------------------------------------------------

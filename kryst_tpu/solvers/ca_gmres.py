@@ -188,7 +188,11 @@ def _cholqr2(K: Array, axis_name: Optional[str]):
         G = _mm(K, K.T)  # (s, s) panel — the single fused reduction
         if axis_name is not None:
             G = lax.psum(G, axis_name)
-        G = G + (shift * jnp.trace(G)) * jnp.eye(s, dtype=K.dtype)
+        # absolute floor on the shift: an all-zero panel (block fully in
+        # the span of the running basis — happy breakdown) has trace 0,
+        # and cholesky(0) is NaN, which would poison the whole restart
+        tr = jnp.maximum(jnp.trace(G), jnp.finfo(K.dtype).tiny * s)
+        G = G + (shift * tr) * jnp.eye(s, dtype=K.dtype)
         L = jnp.linalg.cholesky(G)
         Q = jax.scipy.linalg.solve_triangular(L, K, lower=True)
         return Q, L
@@ -233,7 +237,7 @@ def ca_gmres(
     pca_gmres.rs:136-229). ``"monomial"`` is the zero-shift special case
     (the reference's basis, pca_gmres.rs:141-159).
     """
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     m = restart
@@ -370,18 +374,38 @@ def ca_gmres(
         # tolerance, pca_gmres.rs:46-50).
         rhs = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
         G = _mm(AZc, AZc.T)  # (m, m)
-        tr = jnp.trace(G) / m
+        # Rank-deficiency guard (happy breakdown mid-block, Krylov space
+        # smaller than the restart): rows whose basis vector collapsed
+        # carry ~zero signal. Zero their coupling and pin their diagonal
+        # so the Cholesky stays PD and their y entries solve to exactly
+        # 0 — the exact analogue of lstsq dropping null directions (the
+        # singular Gram would otherwise make cholesky return NaN and the
+        # stall-guard would discard the whole, possibly converged, block).
+        rn = jnp.diagonal(G)
+        eps = float(jnp.finfo(dtype).eps)
+        valid = rn > (16 * eps) ** 2 * jnp.max(rn)
+        nvalid = jnp.maximum(jnp.sum(valid.astype(dtype)), 1.0)
+        G = jnp.where(valid[:, None] & valid[None, :], G, 0.0)
+        tr = jnp.sum(jnp.where(valid, rn, 0.0)) / nvalid
         # ridge stays TINY by default: the restart update needs the LS
         # solved nearly exactly (a sqrt(eps)-scale ridge measurably stalls
-        # convergence at rtol 1e-8). A Cholesky NaN on a PSD-singular Gram
-        # is caught by the stall-guard below (best iterate kept), which is
-        # this formulation's analogue of lstsq dropping null directions.
-        eps = float(jnp.finfo(dtype).eps)
+        # convergence at rtol 1e-8). But a Gram whose ROW SET is rank-
+        # deficient (Krylov space smaller than the restart — unit-norm
+        # rows, singular G) NaNs under the tiny ridge; detect that and
+        # redo the solve with a sqrt(eps) ridge (regularized LS within
+        # the actual Krylov space). Both solves are (m, m) — negligible.
         ridge = (tau if tau is not None else 50 * eps) ** 2
-        Gr = G + (ridge * tr) * jnp.eye(m, dtype=dtype)
-        Lc = jnp.linalg.cholesky(Gr)
-        z1 = jax.scipy.linalg.solve_triangular(Lc, _mm(AZc, rhs), lower=True)
-        y = jax.scipy.linalg.solve_triangular(Lc.T, z1, lower=False)
+        c1 = jnp.where(valid, _mm(AZc, rhs), 0.0)
+
+        def _ls(ridge_val):
+            diag_fix = jnp.where(valid, ridge_val * tr, jnp.maximum(tr, 1.0))
+            Lc = jnp.linalg.cholesky(G + jnp.diag(diag_fix))
+            z1 = jax.scipy.linalg.solve_triangular(Lc, c1, lower=True)
+            return jax.scipy.linalg.solve_triangular(Lc.T, z1, lower=False)
+
+        y0 = _ls(jnp.asarray(ridge, dtype))
+        y1 = _ls(jnp.asarray(jnp.sqrt(eps), dtype))
+        y = jnp.where(jnp.all(jnp.isfinite(y0)), y0, y1)
         update = _mm(y, Z)
         if side == "right":
             update = apply_M(update)

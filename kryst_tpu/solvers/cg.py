@@ -97,7 +97,7 @@ def cg(
             "trust-region radius is only implemented for the standard "
             "recurrence; use single_reduction=False"
         )
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]
@@ -284,7 +284,7 @@ def pcg(
     (in the solver's ``norm_type``) and report stats from it; ``None``
     auto-enables below f64 (see :func:`cg`).
     """
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]

@@ -60,8 +60,8 @@ def _densify(A):
     )
 
 
-def lu_factor(A) -> LUFactorization:
-    A = as_operator(A)
+def lu_factor(A, dtype=None) -> LUFactorization:
+    A = as_operator(A, dtype=dtype)
     lu, piv = jsl.lu_factor(_densify(A))
     return LUFactorization(lu, piv)
 
@@ -71,7 +71,8 @@ def lu_solve(A_or_state, b):
 
     Returns ``(x, SolveStats)`` for API uniformity with the iterative path.
     """
-    state = A_or_state if isinstance(A_or_state, LUFactorization) else lu_factor(A_or_state)
+    state = (A_or_state if isinstance(A_or_state, LUFactorization)
+         else lu_factor(A_or_state, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     x = state.solve(b)
     zero_pivot = jnp.any(jnp.diagonal(state.lu) == 0)
@@ -86,15 +87,16 @@ def lu_solve(A_or_state, b):
     return x, stats
 
 
-def qr_factor(A) -> QRFactorization:
-    A = as_operator(A)
+def qr_factor(A, dtype=None) -> QRFactorization:
+    A = as_operator(A, dtype=dtype)
     q, r = jnp.linalg.qr(_densify(A), mode="reduced")
     return QRFactorization(q, r)
 
 
 def qr_solve(A_or_state, b):
     """Solve (or least-squares solve, for rectangular A) via QR."""
-    state = A_or_state if isinstance(A_or_state, QRFactorization) else qr_factor(A_or_state)
+    state = (A_or_state if isinstance(A_or_state, QRFactorization)
+             else qr_factor(A_or_state, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     x = state.solve(b)
     zero_pivot = jnp.any(jnp.diagonal(state.r) == 0)

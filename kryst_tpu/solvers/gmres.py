@@ -307,7 +307,7 @@ def gmres(
     """
     if side not in ("left", "right", "none"):
         raise ValueError(f"side must be left/right/none, got {side!r}")
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]
@@ -477,7 +477,7 @@ def fgmres(
     The z-basis is stored explicitly (fgmres.rs:207-211) since a varying M
     admits no recomputation trick.
     """
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]

@@ -81,7 +81,7 @@ def pipecg(
     honest. For rtol below the f32 floor use
     :func:`kryst_tpu.solvers.refine.refined_solve`.
     """
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     maxiter = b.shape[0] if maxiter is None else maxiter

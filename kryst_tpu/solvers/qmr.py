@@ -63,7 +63,7 @@ def qmr(
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
-    A = as_operator(A)
+    A = as_operator(A, dtype=jnp.asarray(b).dtype)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     maxiter = b.shape[0] * 2 if maxiter is None else maxiter

@@ -62,7 +62,20 @@ _SMOKE = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         rel = item.nodeid.split("/")[-1]
         if rel in _SMOKE:
+            matched.add(rel)
             item.add_marker(pytest.mark.smoke)
+    # a renamed/moved/parameterized test must not silently drop out of
+    # the smoke tier (r3 review finding) — fail collection loudly instead
+    # (only when every smoke-listed FILE was collected, so running a
+    # single-file subset still works)
+    stale = _SMOKE - matched
+    files = {i.nodeid.split("::")[0].split("/")[-1] for i in items}
+    if stale and {s.split("::")[0] for s in _SMOKE} <= files:
+        raise pytest.UsageError(
+            f"stale _SMOKE entries (no matching test collected): "
+            f"{sorted(stale)}"
+        )

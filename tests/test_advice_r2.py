@@ -132,3 +132,29 @@ def test_solve_f32_floor_auto_refines_to_true_tol():
         )
     assert not bool(st2.reached_tol)
     assert any("floor" in str(x.message) for x in w)
+
+
+def test_solve_autorefine_x0_reports_rel_vs_b():
+    """r3 review: with a good x0, refinement works on the SHIFTED system
+    b - A x0; stats must still report rel_residual vs b (not the shifted
+    rhs) and reached_tol must mean ||b - A x|| <= tol * ||b||."""
+    from kryst_tpu.api import solve
+
+    a = gallery.poisson_2d(64)
+    n = 64 * 64
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
+    x_ref, _ = solve(a, b, solver="pcg", pc="jacobi", tol=1e-8, maxiter=3000)
+    x0 = jnp.asarray(np.asarray(x_ref), jnp.float32)  # near-solution guess
+    x, st = solve(a, b, x0=x0, solver="pcg", pc="jacobi", tol=1e-8,
+                  maxiter=3000)
+    As = sp.csr_matrix(
+        (a.data.astype(np.float64), a.indices, a.indptr), shape=a.shape
+    )
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - As @ np.asarray(x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 1e-8
+    if st.refined is not None and bool(st.refined):
+        # reported rel must be on the b base, within refinement slack
+        assert float(st.rel_residual) <= 1.1e-8
+        assert bool(st.reached_tol)

@@ -304,3 +304,21 @@ def test_solve_grid_enables_const_stencil():
                     pc=PCConfig.ssor(omega=1.0, grid=(gx, gy)),
                     tol=1e-8, maxiter=2000)
     assert bool(st2.reached_tol)
+
+
+def test_ca_gmres_rank_deficient_block():
+    """Happy breakdown mid-block (Krylov dim < block size): the singular
+    projected Gram must not NaN the update — the escalating-ridge LS
+    keeps the solve inside the actual Krylov space (r3 review finding)."""
+    from kryst_tpu.core.linop import DenseOperator
+
+    d = np.array([1.0, 2.0, 3.0] * 4)  # 3 distinct eigenvalues, n = 12
+    A = DenseOperator(jnp.diag(jnp.asarray(d)))
+    b = jnp.ones(12)
+    for basis in ("newton", "monomial"):
+        x, st = ca_gmres(A, b, restart=8, block=8, basis=basis,
+                         tol=1e-8, maxiter=64)
+        r = np.asarray(b) - np.asarray(A.matvec(x))
+        rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+        assert rel < 1e-7, (basis, rel)
+        assert bool(st.reached_tol), basis
