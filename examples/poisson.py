@@ -29,12 +29,14 @@ a = gallery.poisson_3d(N)  # host CSR assembly
 n = N ** 3
 b = jnp.ones(n, dtype=jnp.float32)
 
-# 1. one-call API (auto DIA conversion, string PC)
-x, stats = solve(a, b, solver="pcg", pc="jacobi", tol=1e-6, maxiter=2000)
+# 1. one-call API (auto DIA conversion, string PC; grid= turns on exact
+#    constant-stencil detection -> the zero-coefficient-traffic matvec)
+x, stats = solve(a, b, solver="pcg", pc="jacobi", tol=1e-6, maxiter=2000,
+                 grid=(N, N, N))
 print(f"[api]      iters={int(stats.iterations)} rel={float(stats.rel_residual):.2e}")
 
 # 2. explicit operator + multigrid, jitted
-A = csr_to_dia(a, dtype=np.float32)
+A = csr_to_dia(a, dtype=np.float32, grid=(N, N, N))
 pc = GMGPC.setup(a, grid=(N, N, N), nu_pre=2, nu_post=2, dtype=np.float32)
 run = jax.jit(lambda A, b, pc: pcg(A, b, M=pc, tol=1e-6, maxiter=100))
 x, stats = run(A, b, pc)
