@@ -240,7 +240,8 @@ def main():
         from kryst_tpu.solvers.refine import refine_device
 
         t0 = time.time()
-        pc = GMGPC.setup(a, grid=(n3, n3, n3), nu_pre=2, nu_post=2, dtype=np.float32)
+        pc = GMGPC.setup(a, grid=(n3, n3, n3), nu_pre=2, nu_post=2,
+                 dtype=np.float32, smoother="chebyshev")
         log(f"GMG setup: {time.time()-t0:.1f}s")
         A64 = csr_to_dia(a, dtype=np.float64)
         b64 = jnp.asarray(np.ones(n))
@@ -367,7 +368,8 @@ def main():
             # config 4 at 8M: refined TRUE rtol <= 1e-8
             t0 = time.time()
             pc8 = GMGPC.setup(
-                a8, grid=(200, 200, 200), nu_pre=2, nu_post=2, dtype=np.float32
+                a8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
+                dtype=np.float32, smoother="chebyshev",
             )
             log(f"GMG 8M setup: {time.time()-t0:.0f}s")
             # grid= here too: the f64 OUTER residual then uses the

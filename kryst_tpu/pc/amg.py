@@ -313,18 +313,37 @@ class AMGPC:
     #: r in and z out — two n-element gathers per V-cycle, vs per-SMOOTH
     #: n*k-element gathers on the unpermuted ELL path
     perm0: Tuple[Array, ...] = ()  # () or (perm, iperm)
+    # Chebyshev smoothing weight schedules (see pc/gmg.py
+    # chebyshev_omegas): pre in root order, post REVERSED so the V-cycle
+    # stays self-adjoint when nu_pre == nu_post
+    smoother: str = dataclasses.field(
+        default="jacobi", metadata=dict(static=True)
+    )
+    cheb_pre: Tuple[Tuple[float, ...], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    cheb_post: Tuple[Tuple[float, ...], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
-    def _smooth(self, lvl: AMGLevel, z: Array, r: Array, nu: int,
-                z_is_zero: bool = False) -> Array:
-        for k in range(nu):
+    def _omegas(self, l: int, nu: int, post: bool):
+        if self.smoother == "chebyshev":
+            oms = (self.cheb_post if post else self.cheb_pre)[l]
+            return oms[::-1] if post else oms
+        return (self.smooth_omega,) * nu
+
+    def _smooth(self, l: int, z: Array, r: Array, nu: int,
+                z_is_zero: bool = False, post: bool = False) -> Array:
+        lvl = self.levels[l]
+        for k, om in enumerate(self._omegas(l, nu, post)):
             if z_is_zero and k == 0:
                 # exact shortcut: A·0 = 0 (saves one matvec per level/cycle)
-                z = self.smooth_omega * lvl.inv_diag * r
+                z = om * lvl.inv_diag * r
             elif hasattr(lvl.A, "smooth_jacobi"):
                 # DIA fast levels: fused streamed smoothing (ops/streamed.py)
-                z = lvl.A.smooth_jacobi(z, r, lvl.inv_diag, self.smooth_omega)
+                z = lvl.A.smooth_jacobi(z, r, lvl.inv_diag, om)
             else:
-                z = z + self.smooth_omega * lvl.inv_diag * (r - lvl.A.matvec(z))
+                z = z + om * lvl.inv_diag * (r - lvl.A.matvec(z))
         return z
 
     def _vcycle(self, l: int, r: Array) -> Array:
@@ -336,12 +355,12 @@ class AMGPC:
 
             return jnp.dot(self.coarse_inv, r, precision=lax_.Precision.HIGHEST)
         lvl = self.levels[l]
-        z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre, z_is_zero=True)
+        z = self._smooth(l, jnp.zeros_like(r), r, self.nu_pre, z_is_zero=True)
         resid = r - lvl.A.matvec(z)  # amg.rs:213-224
         rc = lvl.restrict(resid)  # amg.rs:226-227
         zc = self._vcycle(l + 1, rc)  # amg.rs:229-234
         z = z + lvl.prolong(zc)  # amg.rs:236-247
-        return self._smooth(lvl, z, r, self.nu_post)
+        return self._smooth(l, z, r, self.nu_post, post=True)
 
     def apply(self, r: Array) -> Array:
         if self.perm0:
@@ -363,6 +382,8 @@ class AMGPC:
         row_normalize: bool = False,
         fast_transfers: bool = True,
         max_dia_offsets: int = 512,
+        smoother: str = "jacobi",
+        cheb_alpha: float = 4.0,
         dtype=None,
         rap_drop_tol="auto",
         p_drop_tol="auto",
@@ -473,7 +494,14 @@ class AMGPC:
         # perm — all free host work.
         levels: List[AMGLevel] = []
         perm0 = ()
+        cheb_ubs: List[float] = []
         for li, pl_ in enumerate(plans):
+            if smoother == "chebyshev":
+                # Gershgorin bound on lambda_max(D^-1 A) (see pc/gmg.py)
+                A_l = pl_["A"].tocsr()
+                rowsum = np.asarray(np.abs(A_l).sum(axis=1)).ravel()
+                ub = float(np.max(rowsum * np.abs(pl_["inv_d"])))
+                cheb_ubs.append(max(ub, 1e-12))
             perm_self = pl_["perm"]
             perm_next = plans[li + 1]["perm"] if li + 1 < len(plans) else None
             agg = pl_["agg"]
@@ -526,6 +554,16 @@ class AMGPC:
                 "theta, or use a single-level PC (jacobi/chebyshev/ilu0)"
             )
         coarse_inv = np.linalg.inv(A.toarray())  # host, f64
+        cheb_pre = cheb_post = ()
+        if smoother == "chebyshev":
+            from kryst_tpu.pc.gmg import chebyshev_omegas
+
+            cheb_pre = tuple(
+                chebyshev_omegas(ub, nu_pre, cheb_alpha) for ub in cheb_ubs
+            )
+            cheb_post = tuple(
+                chebyshev_omegas(ub, nu_post, cheb_alpha) for ub in cheb_ubs
+            )
         return AMGPC(
             levels=tuple(levels),
             coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
@@ -533,11 +571,15 @@ class AMGPC:
             nu_post=nu_post,
             smooth_omega=smooth_omega,
             perm0=perm0,
+            smoother=smoother,
+            cheb_pre=cheb_pre,
+            cheb_post=cheb_post,
         )
 
 
 register_dataclass(
     AMGPC,
     data_fields=["levels", "coarse_inv", "perm0"],
-    meta_fields=["nu_pre", "nu_post", "smooth_omega"],
+    meta_fields=["nu_pre", "nu_post", "smooth_omega", "smoother",
+                 "cheb_pre", "cheb_post"],
 )

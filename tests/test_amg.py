@@ -143,3 +143,19 @@ def test_amg_rcm_dia_levels_for_scattered_ordering():
     x, st = pcg(ap.to_ell(), jnp.ones(a.shape[0]), M=pc, tol=1e-9, maxiter=100)
     assert bool(st.reached_tol)
     assert int(st.iterations) <= 30
+
+
+def test_amg_chebyshev_smoother_converges():
+    from kryst_tpu.pc.amg import AMGPC
+    from kryst_tpu.solvers.cg import pcg
+
+    a = gallery.poisson_2d(48)
+    A = a.to_device_operator(dtype=jnp.float64)
+    b = jnp.ones(48 * 48, jnp.float64)
+    pc_j = AMGPC.setup(a, nu_pre=2, nu_post=2, dtype=np.float64)
+    pc_c = AMGPC.setup(a, nu_pre=2, nu_post=2, dtype=np.float64,
+                       smoother="chebyshev")
+    _, sj = pcg(A, b, M=pc_j, tol=1e-8, maxiter=100)
+    _, sc = pcg(A, b, M=pc_c, tol=1e-8, maxiter=100)
+    assert bool(sj.reached_tol) and bool(sc.reached_tol)
+    assert int(sc.iterations) <= int(sj.iterations) + 1

@@ -146,3 +146,57 @@ def test_gmg_convection_diffusion():
     np.testing.assert_allclose(
         np.asarray(x), np.linalg.solve(a.todense(), np.ones(576)), atol=1e-5
     )
+
+
+def test_chebyshev_smoother_polynomial_identity():
+    """The varying-omega sweep realizes EXACTLY the scaled-Chebyshev
+    error polynomial (product over the shifted roots)."""
+    import math
+
+    from kryst_tpu.pc.gmg import chebyshev_omegas
+
+    ub, nu, alpha = 2.0, 3, 4.0
+    oms = chebyshev_omegas(ub, nu, alpha)
+    lb = ub / alpha
+    theta, delta = 0.5 * (ub + lb), 0.5 * (ub - lb)
+    t = np.linspace(0.0, ub, 17)
+    e = np.ones_like(t)
+    for om in oms:
+        e *= 1.0 - om * t
+    # reference polynomial T_nu((theta - t)/delta)/T_nu(theta/delta)
+    def T(k, x):
+        x = np.asarray(x, dtype=complex)
+        return np.cosh(k * np.arccosh(x)).real
+
+    p = T(nu, (theta - t) / delta) / T(nu, theta / delta)
+    np.testing.assert_allclose(e, p, atol=1e-12)
+    # equioscillation bound on the smoothing interval
+    ts = np.linspace(lb, ub, 400)
+    es = np.ones_like(ts)
+    for om in oms:
+        es *= 1.0 - om * ts
+    assert np.max(np.abs(es)) <= 1.0 / T(nu, theta / delta) + 1e-12
+
+
+def test_gmg_chebyshev_smoother_converges_and_is_spd():
+    from kryst_tpu.solvers.cg import pcg
+
+    a = gallery.poisson_3d(24)
+    A = a.to_device_operator(dtype=jnp.float64)
+    b = jnp.ones(24 ** 3, jnp.float64)
+    pc_j = GMGPC.setup(a, grid=(24,) * 3, nu_pre=2, nu_post=2,
+                       dtype=np.float64)
+    pc_c = GMGPC.setup(a, grid=(24,) * 3, nu_pre=2, nu_post=2,
+                       dtype=np.float64, smoother="chebyshev")
+    xj, sj = pcg(A, b, M=pc_j, tol=1e-8, maxiter=60)
+    xc, sc = pcg(A, b, M=pc_c, tol=1e-8, maxiter=60)
+    assert bool(sj.reached_tol) and bool(sc.reached_tol)
+    assert int(sc.iterations) <= int(sj.iterations)  # never worse here
+    # self-adjointness of the V-cycle (nu_pre == nu_post, reversed post
+    # schedule): <M r1, r2> == <r1, M r2>
+    rng = np.random.default_rng(0)
+    r1 = jnp.asarray(rng.standard_normal(24 ** 3))
+    r2 = jnp.asarray(rng.standard_normal(24 ** 3))
+    s1 = float(jnp.vdot(pc_c.apply(r1), r2))
+    s2 = float(jnp.vdot(r1, pc_c.apply(r2)))
+    assert abs(s1 - s2) <= 1e-10 * max(abs(s1), 1.0)
