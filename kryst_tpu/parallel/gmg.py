@@ -73,6 +73,13 @@ class ShardedGMGPC:
     nu_post: int = dataclasses.field(metadata=dict(static=True))
     smooth_omega: float = dataclasses.field(metadata=dict(static=True))
     axis_name: str = dataclasses.field(default=AXIS, metadata=dict(static=True))
+    # Chebyshev weight schedules inherited from the host GMGPC (see
+    # pc/gmg.py chebyshev_omegas); pre in root order, post reversed
+    smoother: str = dataclasses.field(
+        default="jacobi", metadata=dict(static=True)
+    )
+    cheb_pre: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    cheb_post: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     def partition_spec(self, axis: str):
         """Shardings for sharded_solve: DIA planes split on their last dim,
@@ -95,11 +102,21 @@ class ShardedGMGPC:
             levels=specs_levels, coarse_inv=P(), nc_local=self.nc_local,
             nu_pre=self.nu_pre, nu_post=self.nu_post,
             smooth_omega=self.smooth_omega, axis_name=self.axis_name,
+            smoother=self.smoother, cheb_pre=self.cheb_pre,
+            cheb_post=self.cheb_post,
         )
 
-    def _smooth(self, lvl: ShardedGMGLevel, z: Array, r: Array, nu: int) -> Array:
-        for _ in range(nu):
-            z = z + self.smooth_omega * lvl.inv_diag * (r - lvl.A.matvec(z))
+    def _omegas(self, l: int, nu: int, post: bool):
+        if self.smoother == "chebyshev":
+            oms = (self.cheb_post if post else self.cheb_pre)[l]
+            return oms[::-1] if post else oms
+        return (self.smooth_omega,) * nu
+
+    def _smooth(self, l: int, z: Array, r: Array, nu: int,
+                post: bool = False) -> Array:
+        lvl = self.levels[l]
+        for om in self._omegas(l, nu, post):
+            z = z + om * lvl.inv_diag * (r - lvl.A.matvec(z))
         return z
 
     def _coarse_solve(self, r_local: Array) -> Array:
@@ -116,11 +133,11 @@ class ShardedGMGPC:
         if l == len(self.levels):
             return self._coarse_solve(r)
         lvl = self.levels[l]
-        z = self._smooth(lvl, jnp.zeros_like(r), r, self.nu_pre)
+        z = self._smooth(l, jnp.zeros_like(r), r, self.nu_pre)
         resid = r - lvl.A.matvec(z)
         zc = self._vcycle(l + 1, lvl.restrict(resid))
         z = z + lvl.prolong(zc)
-        return self._smooth(lvl, z, r, self.nu_post)
+        return self._smooth(l, z, r, self.nu_post, post=True)
 
     def apply(self, r: Array) -> Array:
         return self._vcycle(0, r)
@@ -129,7 +146,8 @@ class ShardedGMGPC:
 register_dataclass(
     ShardedGMGPC,
     data_fields=["levels", "coarse_inv"],
-    meta_fields=["nc_local", "nu_pre", "nu_post", "smooth_omega", "axis_name"],
+    meta_fields=["nc_local", "nu_pre", "nu_post", "smooth_omega", "axis_name",
+                 "smoother", "cheb_pre", "cheb_post"],
 )
 
 
@@ -181,6 +199,7 @@ def distribute_gmg(pc: GMGPC, mesh: Mesh, axis: str = AXIS) -> ShardedGMGPC:
     if nc % nd:
         raise ValueError(f"coarsest size {nc} not divisible by {nd} shards")
     coarse_inv = jax.device_put(jnp.asarray(coarse_mat), NamedSharding(mesh, P()))
+    nlev = len(levels)
     return ShardedGMGPC(
         levels=tuple(levels),
         coarse_inv=coarse_inv,
@@ -189,4 +208,7 @@ def distribute_gmg(pc: GMGPC, mesh: Mesh, axis: str = AXIS) -> ShardedGMGPC:
         nu_post=pc.nu_post,
         smooth_omega=pc.smooth_omega,
         axis_name=axis,
+        smoother=pc.smoother,
+        cheb_pre=tuple(pc.cheb_pre[:nlev]),
+        cheb_post=tuple(pc.cheb_post[:nlev]),
     )

@@ -149,3 +149,31 @@ def test_sharded_gmg_nonsymmetric_matches_single_device():
     assert bool(sd.reached_tol)
     assert abs(int(sd.iterations) - int(s1.iterations)) <= 1
     np.testing.assert_allclose(np.asarray(xd), np.asarray(x1), atol=1e-7)
+
+
+def test_sharded_vcycle_chebyshev_matches_single_device():
+    """The Chebyshev weight schedules survive distribution: the sharded
+    V-cycle equals the single-device one to machine eps."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    mesh = solver_mesh(8)
+    a = gallery.poisson_2d(64)
+    pc = GMGPC.setup(a, grid=(64, 64), nu_pre=2, nu_post=2,
+                     coarse_size=256, smoother="chebyshev")
+    pcd = distribute_gmg(pc, mesh)
+    assert pcd.smoother == "chebyshev" and len(pcd.cheb_pre) == len(pcd.levels)
+    r = np.random.default_rng(3).standard_normal(4096)
+    z_ref = np.asarray(pc.apply(jnp.asarray(r)))
+    rd = pad_vector(jnp.asarray(r), 4096, mesh)
+    specs = pcd.partition_spec("shards")
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(specs, P("shards")),
+        out_specs=P("shards"),
+    )
+    def apply(pc_local, r_local):
+        return pc_local.apply(r_local)
+
+    z = np.asarray(apply(pcd, rd))
+    np.testing.assert_allclose(z, z_ref, rtol=1e-10, atol=1e-12)
