@@ -1,6 +1,7 @@
 """Tests for BiCGStab, CGS, QMR, TFQMR, MINRES, CGNR/CGNE and direct LU/QR
 (reference bicgstab.rs:315-328, cgs.rs:160-189, qmr.rs:174-196,
 tfqmr.rs, minres.rs, cgnr.rs, direct_lu.rs)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -208,3 +209,27 @@ def test_qr_solve_rectangular():
     x, stats = qr_solve(jnp.asarray(A), jnp.asarray(b))
     expected, *_ = np.linalg.lstsq(A, b, rcond=None)
     np.testing.assert_allclose(np.asarray(x), expected, atol=1e-9)
+
+
+def test_vmap_batched_multi_rhs():
+    """Solvers are pure pytree functions, so multi-RHS batching is just
+    jax.vmap — each lane converges independently (while_loop lifts to a
+    masked batched loop under vmap). A capability the reference's
+    imperative solvers cannot express (cf. src/solver/cg.rs:141)."""
+    from kryst_tpu import JacobiPC, pcg
+    from kryst_tpu.solvers.gmres import gmres
+
+    a = gallery.poisson_2d(32)
+    A = a.to_device_operator(dtype=jnp.float64)
+    M = JacobiPC.setup(A)
+    B = jnp.asarray(np.random.default_rng(0).standard_normal((4, 1024)))
+    X = jax.jit(jax.vmap(lambda bb: pcg(A, bb, M=M, tol=1e-10, maxiter=300)[0]))(B)
+    for i in range(4):
+        x_i, st = pcg(A, B[i], M=M, tol=1e-10, maxiter=300)
+        assert bool(st.reached_tol)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), atol=1e-8)
+    Xg = jax.jit(jax.vmap(
+        lambda bb: gmres(A, bb, tol=1e-10, maxiter=300, restart=30)[0]
+    ))(B)
+    res = jnp.linalg.norm(B - jax.vmap(A.matvec)(Xg), axis=1)
+    assert float(jnp.max(res)) < 1e-7
