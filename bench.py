@@ -43,8 +43,41 @@ def emit(metric, value, unit, vs_baseline):
     )
 
 
+def _tpu_responsive(timeout_s: int = 420) -> bool:
+    """Probe the TPU relay in a SUBPROCESS with a hard timeout.
+
+    A killed remote compile can wedge the relay for hours — even
+    jax.devices() blocks (CLAUDE.md). Probing in-process would hang this
+    benchmark forever; a wedged relay should instead fall back to CPU so
+    the driver still records metrics (marked by the backend log line).
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
+        return False
+    code = (
+        "import jax; "
+        "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache'); "
+        "import jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
     import jax
+
+    forced_cpu = (getattr(jax.config, "jax_platforms", None) or "") == "cpu"
+    if not forced_cpu and not _tpu_responsive():
+        log("TPU relay unresponsive -> forcing CPU backend")
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
