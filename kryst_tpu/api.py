@@ -424,6 +424,13 @@ def solve(
         g = dict(pc.params).get("grid")
         if g is not None and math.prod(g) == b.shape[0]:
             grid = g
+    if pc == "gmg":  # string alias needs the grid kwarg
+        if grid is None:
+            raise ValueError(
+                "pc='gmg' needs the structured grid shape: "
+                "solve(..., pc='gmg', grid=(nx, ny[, nz]))"
+            )
+        pc = PCConfig.gmg(grid)
     if isinstance(A, CSRMatrix):
         a_host = A
         # The device operator follows b's dtype (an f64-assembled host

@@ -322,3 +322,13 @@ def test_ca_gmres_rank_deficient_block():
         rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
         assert rel < 1e-7, (basis, rel)
         assert bool(st.reached_tol), basis
+
+
+def test_solve_gmg_string_alias_with_grid():
+    a = gallery.poisson_2d(64)
+    b = jnp.ones(64 * 64)
+    x, st = solve(a, b, solver="pcg", pc="gmg", grid=(64, 64), tol=1e-8,
+                  maxiter=60)
+    assert bool(st.reached_tol) and int(st.iterations) < 25
+    with pytest.raises(ValueError, match="grid"):
+        solve(a, b, solver="pcg", pc="gmg", tol=1e-8)
