@@ -28,6 +28,7 @@ import enum
 import math
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from kryst_tpu.core.linop import as_operator
@@ -377,6 +378,22 @@ def _f64_operator(A, a_host, grid=None):
     return A64
 
 
+# Module-level jitted refinement helpers: defining these per solve()
+# call would retrace them every time (r3 review follow-up). Operators
+# are ARGUMENTS (pytrees), so one trace serves all operator shapes of
+# the same structure.
+@jax.jit
+def _shifted_rhs(A64_, b_, xs):
+    b64 = jnp.asarray(b_, jnp.float64)
+    r0 = b64 - A64_.matvec(jnp.asarray(xs, jnp.float64))
+    return r0, jnp.linalg.norm(r0), jnp.linalg.norm(b64)
+
+
+@jax.jit
+def _add_f64(xs, dd):
+    return jnp.asarray(xs, jnp.float64) + dd
+
+
 def solve(
     A,
     b,
@@ -602,6 +619,31 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
                 stacklevel=3,
             )
             return x, stats
+    # Cheap HOST-side verification first: with the host CSR available,
+    # the f64 true residual is one scipy matvec — building the f64
+    # device operator (a ~450 MB re-layout + upload at 8M dof) on the
+    # SUCCESS path of every converged f32 solve would be absurd.
+    if verify_claim and a_host is not None:
+        import numpy as _np
+        import scipy.sparse as _sp
+
+        As = _sp.csr_matrix(
+            (a_host.data.astype(_np.float64), a_host.indices, a_host.indptr),
+            shape=a_host.shape,
+        )
+        b64h = _np.asarray(b, _np.float64)
+        r0h = b64h - As @ _np.asarray(x, _np.float64)
+        bnormh = float(_np.linalg.norm(b64h))
+        r0normh = float(_np.linalg.norm(r0h))
+        if bnormh == 0.0 or r0normh <= tol * bnormh:
+            return x, stats._replace(
+                rel_residual=jnp.asarray(
+                    0.0 if bnormh == 0.0 else r0normh / bnormh
+                ),
+                final_residual=jnp.asarray(r0normh),
+                reached_tol=jnp.asarray(True),
+            )
+        # claim failed the f64 check: fall through to refinement
     f64_ok = jnp.zeros((), jnp.float64).dtype == jnp.float64
     A64 = _f64_operator(A, a_host, grid=grid) if f64_ok else None
     if A64 is None:
@@ -631,18 +673,14 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
     # rel-vs-b <= tol. Operators/PC state are jit ARGUMENTS throughout
     # (closed-over pytrees embed in the HLO as literals; the remote-
     # compile relay rejects MB-sized request bodies — CLAUDE.md).
-    @jax.jit
-    def _shifted_rhs(A64_, b_, xs):
-        b64 = jnp.asarray(b_, jnp.float64)
-        r0 = b64 - A64_.matvec(jnp.asarray(xs, jnp.float64))
-        return r0, jnp.linalg.norm(r0), jnp.linalg.norm(b64)
-
     r0, r0n, bn = _shifted_rhs(A64, b, x)
     r0norm, bnorm = float(r0n), float(bn)
     if bnorm == 0.0 or r0norm <= tol * bnorm:
-        # claim verified in f64 (or trivially solved): report the TRUE rel
+        # claim verified in f64 (or trivially solved): report the TRUE
+        # residual in BOTH fields so they stay mutually consistent
         return x, stats._replace(
             rel_residual=jnp.asarray(0.0 if bnorm == 0.0 else r0norm / bnorm),
+            final_residual=jnp.asarray(r0norm),
             reached_tol=jnp.asarray(True),
         )
     tol_shifted = tol * bnorm / r0norm
@@ -655,7 +693,7 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
         )
 
     d64, rst = jax.jit(run)(A64, A, M, r0)
-    xr = jax.jit(lambda xs, dd: jnp.asarray(xs, jnp.float64) + dd)(x, d64)
+    xr = _add_f64(x, d64)
     scale = r0norm / bnorm  # shifted rel -> rel vs b
     stats = stats._replace(
         iterations=rst.inner_iterations,

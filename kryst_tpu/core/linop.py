@@ -292,7 +292,9 @@ def as_operator(a, dtype=None):
         return a.to_device_operator(dtype=dtype)
     if hasattr(a, "matvec"):
         return a
-    arr = jnp.asarray(a)
+    # raw dense arrays are also a host-side input: honor dtype so an
+    # f64 ndarray with an f32 rhs doesn't mismatch the solver carry
+    arr = jnp.asarray(a) if dtype is None else jnp.asarray(a, dtype=dtype)
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
     return DenseOperator(arr)

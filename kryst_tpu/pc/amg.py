@@ -327,10 +327,12 @@ class AMGPC:
     )
 
     def _omegas(self, l: int, nu: int, post: bool):
-        if self.smoother == "chebyshev":
-            oms = (self.cheb_post if post else self.cheb_pre)[l]
-            return oms[::-1] if post else oms
-        return (self.smooth_omega,) * nu
+        from kryst_tpu.pc.gmg import smoothing_omegas
+
+        return smoothing_omegas(
+            self.smoother, self.smooth_omega, self.cheb_pre,
+            self.cheb_post, l, nu, post,
+        )
 
     def _smooth(self, l: int, z: Array, r: Array, nu: int,
                 z_is_zero: bool = False, post: bool = False) -> Array:

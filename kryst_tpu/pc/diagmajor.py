@@ -91,11 +91,33 @@ class DiagMajorTriangular2D:
     diagonal factors pass dinv = banded ones.
     """
 
-    c_ax: Array  # (nlev, nx) coeff of the +-ny neighbor
-    c_un: Array  # (nlev, nx) coeff of the +-1 neighbor
-    dinv: Array  # (nlev, nx) 1/diag, 0 outside the band
+    # Coefficients are stored PRE-BLOCKED as (nsteps, K=_UNROLL, nx) at
+    # construction (DiagMajorTriangular2D.build): blocking them per
+    # apply would copy 3 full arrays inside the solver's while_loop,
+    # where re-layouts are NOT hoisted (CLAUDE.md; r3 review follow-up).
+    c_ax: Array  # blocked coeff of the +-ny neighbor
+    c_un: Array  # blocked coeff of the +-1 neighbor
+    dinv: Array  # blocked 1/diag, 0 outside the band
     grid: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     lower: bool = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def build(cls, c_ax: Array, c_un: Array, dinv: Array, grid, lower):
+        """Construct from FLAT (nlev, nx) packed coefficients."""
+        nlev = c_ax.shape[0]
+        K = min(_UNROLL, nlev)
+        nsteps = -(-nlev // K)
+        pad = nsteps * K - nlev
+
+        def blk(a):
+            # zero-pad the level axis; padded levels have all-zero
+            # coefficients AND dinv, so they solve to exactly 0
+            return jnp.pad(a, ((0, pad), (0, 0))).reshape(nsteps, K, -1)
+
+        return cls(
+            c_ax=blk(c_ax), c_un=blk(c_un), dinv=blk(dinv),
+            grid=tuple(grid), lower=lower,
+        )
 
     def solve_packed(self, B: Array) -> Array:
         """B: (nlev, nx) packed rhs -> packed solution.
@@ -112,13 +134,8 @@ class DiagMajorTriangular2D:
         K = min(_UNROLL, nlev)
         nsteps = -(-nlev // K)
         pad = nsteps * K - nlev
-
-        def blk(a):
-            # zero-pad the level axis; padded levels have all-zero
-            # coefficients AND dinv, so they solve to exactly 0
-            return jnp.pad(a, ((0, pad), (0, 0))).reshape(nsteps, K, -1)
-
-        Bb, cab, cub, dib = blk(B), blk(self.c_ax), blk(self.c_un), blk(self.dinv)
+        Bb = jnp.pad(B, ((0, pad), (0, 0))).reshape(nsteps, K, -1)
+        cab, cub, dib = self.c_ax, self.c_un, self.dinv  # pre-blocked
         order = range(K) if self.lower else range(K - 1, -1, -1)
 
         if self.lower:
@@ -218,13 +235,13 @@ class DiagMajorILU2D:
         dinv = skew_pack_np(
             np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
         ).astype(dtype)
-        L = DiagMajorTriangular2D(
+        L = DiagMajorTriangular2D.build(
             c_ax=jnp.asarray(skew_pack_np(cN).astype(dtype)),
             c_un=jnp.asarray(skew_pack_np(cW).astype(dtype)),
             dinv=jnp.asarray(ones),  # unit diagonal
             grid=grid, lower=True,
         )
-        U = DiagMajorTriangular2D(
+        U = DiagMajorTriangular2D.build(
             c_ax=jnp.asarray(skew_pack_np(cS).astype(dtype)),
             c_un=jnp.asarray(skew_pack_np(cE).astype(dtype)),
             dinv=jnp.asarray(dinv),
@@ -306,12 +323,12 @@ class DiagMajorSOR2D:
             raise ZeroDivisionError("zero diagonal in SOR setup")
         dsc = dg / omega
         dinv = skew_pack_np(1.0 / dsc).astype(dtype)
-        Lfac = DiagMajorTriangular2D(
+        Lfac = DiagMajorTriangular2D.build(
             c_ax=jnp.asarray(skew_pack_np(cN).astype(dtype)),
             c_un=jnp.asarray(skew_pack_np(cW).astype(dtype)),
             dinv=jnp.asarray(dinv), grid=grid, lower=True,
         )
-        Ufac = DiagMajorTriangular2D(
+        Ufac = DiagMajorTriangular2D.build(
             c_ax=jnp.asarray(skew_pack_np(cS).astype(dtype)),
             c_un=jnp.asarray(skew_pack_np(cE).astype(dtype)),
             dinv=jnp.asarray(dinv), grid=grid, lower=False,
@@ -384,18 +401,22 @@ class DiagMajorTriangular3D:
     Lower: deps of (i,j,k) are (i-1,j,k)/(i,j-1,k)/(i,j,k-1), all on the
     previous plane at packed positions (i-1,j)/(i,j-1)/(i,j)."""
 
-    c_i: Array  # (nlev, nx, ny) coeff of the +-ny*nz neighbor
+    # PRE-BLOCKED (nsteps, K, nx, ny) at construction (.build), like the
+    # 2-D class: per-apply blocking would copy 4 coefficient arrays
+    # inside the solver's while_loop (re-layouts are not hoisted there)
+    c_i: Array  # blocked coeff of the +-ny*nz neighbor
     c_j: Array  # coeff of the +-nz neighbor
     c_k: Array  # coeff of the +-1 neighbor
     dinv: Array
     grid: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     lower: bool = dataclasses.field(metadata=dict(static=True))
 
-    def solve_packed(self, B: Array) -> Array:
-        # blocked like the 2-D solve: _UNROLL wavefront planes per scan
-        # step, identical arithmetic (see DiagMajorTriangular2D)
-        nx, ny, _ = self.grid
-        nlev = B.shape[0]
+    @classmethod
+    def build(cls, c_i: Array, c_j: Array, c_k: Array, dinv: Array,
+              grid, lower):
+        """Construct from FLAT (nlev, nx, ny) packed coefficients."""
+        nx, ny, _ = grid
+        nlev = c_i.shape[0]
         K = min(_UNROLL, nlev)
         nsteps = -(-nlev // K)
         pad = nsteps * K - nlev
@@ -405,10 +426,21 @@ class DiagMajorTriangular3D:
                 nsteps, K, nx, ny
             )
 
-        Bb = blk(B)
-        cib, cjb, ckb, dib = (
-            blk(self.c_i), blk(self.c_j), blk(self.c_k), blk(self.dinv)
+        return cls(
+            c_i=blk(c_i), c_j=blk(c_j), c_k=blk(c_k), dinv=blk(dinv),
+            grid=tuple(grid), lower=lower,
         )
+
+    def solve_packed(self, B: Array) -> Array:
+        # blocked like the 2-D solve: _UNROLL wavefront planes per scan
+        # step, identical arithmetic (see DiagMajorTriangular2D)
+        nx, ny, _ = self.grid
+        nlev = B.shape[0]
+        K = min(_UNROLL, nlev)
+        nsteps = -(-nlev // K)
+        pad = nsteps * K - nlev
+        Bb = jnp.pad(B, ((0, pad), (0, 0), (0, 0))).reshape(nsteps, K, nx, ny)
+        cib, cjb, ckb, dib = self.c_i, self.c_j, self.c_k, self.dinv
         order = range(K) if self.lower else range(K - 1, -1, -1)
 
         if self.lower:
@@ -509,11 +541,11 @@ class DiagMajorILU3D:
             np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
         ).astype(dtype)
         pk = lambda A_: jnp.asarray(skew_pack_3d_np(A_).astype(dtype))
-        L = DiagMajorTriangular3D(
+        L = DiagMajorTriangular3D.build(
             c_i=pk(cI), c_j=pk(cJ), c_k=pk(cK), dinv=jnp.asarray(ones),
             grid=tuple(grid), lower=True,
         )
-        U = DiagMajorTriangular3D(
+        U = DiagMajorTriangular3D.build(
             c_i=pk(uI), c_j=pk(uJ), c_k=pk(uK), dinv=jnp.asarray(dinv),
             grid=tuple(grid), lower=False,
         )
@@ -606,11 +638,11 @@ class DiagMajorSOR3D:
             raise ZeroDivisionError("zero diagonal in SOR setup")
         dinv = skew_pack_3d_np(omega / dg).astype(dtype)
         pk = lambda A_: jnp.asarray(skew_pack_3d_np(A_).astype(dtype))
-        Lfac = DiagMajorTriangular3D(
+        Lfac = DiagMajorTriangular3D.build(
             c_i=pk(cI), c_j=pk(cJ), c_k=pk(cK), dinv=jnp.asarray(dinv),
             grid=tuple(grid), lower=True,
         )
-        Ufac = DiagMajorTriangular3D(
+        Ufac = DiagMajorTriangular3D.build(
             c_i=pk(uI), c_j=pk(uJ), c_k=pk(uK), dinv=jnp.asarray(dinv),
             grid=tuple(grid), lower=False,
         )

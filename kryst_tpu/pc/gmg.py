@@ -158,6 +158,18 @@ def chebyshev_omegas(ub: float, nu: int, alpha: float = 4.0):
     return tuple(1.0 / t for t in roots)
 
 
+def smoothing_omegas(smoother, smooth_omega, cheb_pre, cheb_post,
+                     l, nu, post):
+    """Per-step smoothing weights for level ``l`` — THE single source of
+    the Chebyshev schedule convention (GMGPC, AMGPC and ShardedGMGPC all
+    delegate here so the post-REVERSAL rule that keeps the V-cycle
+    self-adjoint cannot drift between them)."""
+    if smoother == "chebyshev":
+        oms = (cheb_post if post else cheb_pre)[l]
+        return oms[::-1] if post else oms
+    return (smooth_omega,) * nu
+
+
 @dataclasses.dataclass(frozen=True)
 class GMGPC:
     levels: Tuple[GMGLevel, ...]
@@ -181,10 +193,10 @@ class GMGPC:
     )
 
     def _omegas(self, l: int, nu: int, post: bool):
-        if self.smoother == "chebyshev":
-            oms = (self.cheb_post if post else self.cheb_pre)[l]
-            return oms[::-1] if post else oms
-        return (self.smooth_omega,) * nu
+        return smoothing_omegas(
+            self.smoother, self.smooth_omega, self.cheb_pre,
+            self.cheb_post, l, nu, post,
+        )
 
     def _smooth(self, l: int, z: Array, r: Array, nu: int,
                 z_is_zero: bool = False, post: bool = False) -> Array:

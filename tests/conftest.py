@@ -74,7 +74,11 @@ def pytest_collection_modifyitems(config, items):
     # single-file subset still works)
     stale = _SMOKE - matched
     files = {i.nodeid.split("::")[0].split("/")[-1] for i in items}
-    if stale and {s.split("::")[0] for s in _SMOKE} <= files:
+    # fire on any collection that looks like the full suite (>= 10 test
+    # files), so a RENAMED/DELETED smoke-listed file is caught too —
+    # requiring every smoke file to be present would make exactly that
+    # rename silent (r3 review follow-up)
+    if stale and len(files) >= 10:
         raise pytest.UsageError(
             f"stale _SMOKE entries (no matching test collected): "
             f"{sorted(stale)}"
