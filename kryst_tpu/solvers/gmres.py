@@ -60,12 +60,55 @@ from kryst_tpu.solvers._common import (
 # ~(m+1)/2, halving panel traffic at a cost of ~(m+1)/8 conditionals.
 _PANEL_CHUNK = 8
 
+# When the whole basis stays VMEM-resident across inner iterations the
+# row traffic is free and the lax.switch costs real time instead of
+# saving any (config-2 measured 93.9 us/iter chunked vs 38.9 full-width
+# at 256^2, restart 30 — the switch forces a fresh panel materialization
+# per step). Dispatch at trace time on the basis footprint, mirroring
+# the DIAOperator residency policy (ops/dia.py `resident`): full-width
+# masked matmul when V fits comfortably in the 128 MB v5e VMEM alongside
+# the operator coefficients, chunked active-prefix beyond.
+_PANEL_RESIDENT_BYTES = 48 * 1024 * 1024
+
+
+def _panel_resident(V) -> bool:
+    return V.size * V.dtype.itemsize <= _PANEL_RESIDENT_BYTES
+
 
 def _active_chunks(j, mp1):
     """Switch index: number of active row chunks minus one, for row
     prefix 0..j."""
     nch = -(-mp1 // _PANEL_CHUNK)
     return jnp.minimum(j // _PANEL_CHUNK, nch - 1)
+
+
+def _panel_dots(V, w, j, axis_name, extra=None):
+    """h = (V @ w) masked to rows 0..j.
+
+    VMEM-resident bases use ONE full-width matmul (row traffic is free;
+    measured 38.9 us/GMRES-iter at 256^2); beyond-VMEM bases read only
+    the active row chunks via ``_chunked_panel_dots``. ``extra`` (a
+    scalar) rides the same reduction round; returns (h, extra_reduced)
+    when given."""
+    if not _panel_resident(V):
+        return _chunked_panel_dots(V, w, j, axis_name, extra=extra)
+    mp1 = V.shape[0]
+    h = V @ w
+    if extra is not None:
+        h = jnp.concatenate([h, extra[None]])
+    if axis_name is not None:
+        h = lax.psum(h, axis_name)
+    hm = h[:mp1] * (jnp.arange(mp1) <= j).astype(V.dtype)
+    return (hm, h[mp1]) if extra is not None else hm
+
+
+def _panel_correction(V, h, j, axis_name=None):
+    """w_corr = h @ V; rows past j contribute zero (h is masked).
+
+    Full-width on VMEM-resident bases, active-prefix chunks beyond."""
+    if not _panel_resident(V):
+        return _chunked_correction(V, h, j, axis_name)
+    return h @ V
 
 
 def _chunked_panel_dots(V, w, j, axis_name, extra=None):
@@ -120,10 +163,10 @@ def _orthogonalize_cgs2(V, w, j, axis_name=None):
     Each pass is ONE active-prefix panel + ONE correction — the
     comm-avoiding shape (a single fused reduction per pass on a mesh).
     """
-    h1 = _chunked_panel_dots(V, w, j, axis_name)
-    w = w - _chunked_correction(V, h1, j, axis_name)
-    h2 = _chunked_panel_dots(V, w, j, axis_name)
-    w = w - _chunked_correction(V, h2, j, axis_name)
+    h1 = _panel_dots(V, w, j, axis_name)
+    w = w - _panel_correction(V, h1, j, axis_name)
+    h2 = _panel_dots(V, w, j, axis_name)
+    w = w - _panel_correction(V, h2, j, axis_name)
     return w, h1 + h2
 
 
@@ -131,8 +174,8 @@ def _orthogonalize_cgs(V, w, j, axis_name=None):
     """Single-pass classical Gram-Schmidt (reference ``Orthog::Classical``,
     fgmres.rs:217-224): half the panel cost of CGS2, adequate for
     well-conditioned bases."""
-    h1 = _chunked_panel_dots(V, w, j, axis_name)
-    return w - _chunked_correction(V, h1, j, axis_name), h1
+    h1 = _panel_dots(V, w, j, axis_name)
+    return w - _panel_correction(V, h1, j, axis_name), h1
 
 
 def _orthogonalize_cgs_adaptive(V, w, j, axis_name=None, eta=0.5):
@@ -147,15 +190,15 @@ def _orthogonalize_cgs_adaptive(V, w, j, axis_name=None, eta=0.5):
     GMRES panel cost in the common case.
     """
     # <w,w> rides the same reduction round as the panel dots
-    h1, ww = _chunked_panel_dots(V, w, j, axis_name, extra=jnp.dot(w, w))
-    w1 = w - _chunked_correction(V, h1, j, axis_name)
+    h1, ww = _panel_dots(V, w, j, axis_name, extra=jnp.dot(w, w))
+    w1 = w - _panel_correction(V, h1, j, axis_name)
     drop = ww - h1 @ h1  # = ||w1||^2 up to roundoff
     need_second = drop < eta * ww
 
     def second(args):
         w1, h1 = args
-        h2 = _chunked_panel_dots(V, w1, j, axis_name)
-        return w1 - _chunked_correction(V, h2, j, axis_name), h1 + h2
+        h2 = _panel_dots(V, w1, j, axis_name)
+        return w1 - _panel_correction(V, h2, j, axis_name), h1 + h2
 
     def keep(args):
         return args
