@@ -50,29 +50,42 @@ def poisson_2d_stencil(nx: int, ny: int | None = None, dtype=None):
 
 
 def poisson_3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> CSRMatrix:
-    """7-point 3-D Poisson (Dirichlet): 6 on diagonal, -1 neighbors."""
+    """7-point 3-D Poisson (Dirichlet): 6 on diagonal, -1 neighbors.
+
+    Direct CSR assembly: each row's nonzero columns in ascending order
+    are exactly the stencil-offset order (-ny*nz, -nz, -1, 0, +1, +nz,
+    +ny*nz), so no COO sort/dedup pass is needed — O(n) mask-compress.
+    (The from_coo path cost ~30 s at 1M dof on this single-CPU host and
+    ~4 min at 8M; this takes ~2 s / ~15 s.)
+    """
     ny = ny or nx
     nz = nz or nx
     n = nx * ny * nz
 
-    # vectorized assembly: diagonal + 6 shifted bands
-    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
-    lin = (ii * ny + jj) * nz + kk
-    rows = [lin.ravel()]
-    cols = [lin.ravel()]
-    vals = [np.full(n, 6.0, dtype=dtype)]
-    for axis, extent in ((0, nx), (1, ny), (2, nz)):
-        for sgn in (-1, 1):
-            coord = (ii, jj, kk)[axis]
-            mask = (coord + sgn >= 0) & (coord + sgn < extent)
-            stride = (ny * nz, nz, 1)[axis]
-            r = lin[mask]
-            rows.append(r)
-            cols.append(r + sgn * stride)
-            vals.append(np.full(r.size, -1.0, dtype=dtype))
-    return CSRMatrix.from_coo(
-        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (n, n)
+    ii, jj, kk = np.meshgrid(
+        np.arange(nx, dtype=np.int32),
+        np.arange(ny, dtype=np.int32),
+        np.arange(nz, dtype=np.int32),
+        indexing="ij",
     )
+    ii, jj, kk = ii.ravel(), jj.ravel(), kk.ravel()
+    lin = (ii.astype(np.int64) * ny + jj) * nz + kk
+    offsets = np.array([-ny * nz, -nz, -1, 0, 1, nz, ny * nz], dtype=np.int64)
+    # valid[i, s]: stencil slot s exists for row i — built (n, 7)
+    # contiguous so the mask-compress below needs no transposed copy
+    valid = np.stack([
+        ii > 0, jj > 0, kk > 0,
+        np.ones(n, dtype=bool),
+        kk < nz - 1, jj < ny - 1, ii < nx - 1,
+    ], axis=1)
+    cols_pad = lin[:, None] + offsets[None, :]
+    vals_row = np.array([-1, -1, -1, 6, -1, -1, -1], dtype=dtype)
+    mask_flat = valid.ravel()
+    indices = cols_pad.ravel()[mask_flat]
+    data = np.broadcast_to(vals_row, (n, 7)).ravel()[mask_flat]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(valid.sum(axis=1), out=indptr[1:])
+    return CSRMatrix(indptr, indices, data, (n, n))
 
 
 def poisson_3d_stencil(nx: int, ny: int | None = None, nz: int | None = None, dtype=None):
