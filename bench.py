@@ -434,6 +434,33 @@ def main():
             log(f"bicgstab 8M: {dt_b*1e3:.2f} ms/iter (traffic-bound ~{est_b*1e3:.2f} ms)")
             emit("bicgstab_8M_per_iteration", dt_b * 1e3, "ms", est_b / dt_b)
 
+            # s-step CA-GMRES is the MEMORY-avoiding GMRES beyond VMEM:
+            # BCGS2/CholeskyQR2 touch the basis ~4x per s-BLOCK where
+            # CGS2 panels touch the active prefix 4x per ITERATION —
+            # ~22 vector-touches/iter at s=m=30 vs ~80 for cgs2.
+            # (Same s-step blocks that buy comm-avoidance on a mesh buy
+            # HBM-traffic avoidance on one chip.)
+            from kryst_tpu.solvers.ca_gmres import ca_gmres
+
+            dt_ca = slope(
+                lambda it: (
+                    lambda f=jax.jit(
+                        lambda A, bb, it=it: ca_gmres(
+                            A, bb, tol=0.0, maxiter=it, restart=30,
+                        )[1].iterations
+                    ): f(A8, b8)
+                ),
+                60, 180, reps=2,
+            )
+            # per restart (s=m=30): ~4sn matvec+recurrence, 2sn equil,
+            # (6s+4(m+1))n BCGS2, 4sn CholQR2, sn Z write, mn update
+            est_ca = ((4 * 30 + 2 * 30 + 6 * 30 + 4 * 31 + 4 * 30 + 30 + 30)
+                      * n8 * 4 / 30) / 650e9
+            log(f"ca_gmres(30,s=30) 8M: {dt_ca*1e3:.2f} ms/iter "
+                f"(traffic-bound ~{est_ca*1e3:.2f} ms)")
+            emit("ca_gmres30_8M_per_iteration", dt_ca * 1e3, "ms",
+                 est_ca / dt_ca)
+
             # config 4 at 8M: refined TRUE rtol <= 1e-8
             t0 = time.time()
             pc8 = GMGPC.setup(
