@@ -22,8 +22,10 @@ pca_gmres.rs:18-20), with the reference's full parameter surface
    ``min_y ||beta e0 - y @ AZc||`` is a tiny (m, m+1) solve on device
    (``AZc`` holds the coordinates of A·Z, exact by the shift identity
    Op K_i = K_{i+1});
-4. ``x += y @ Z`` (right preconditioning applies M^-1 once), true
-   residual recomputed, restart.
+4. ``x += y @ Z`` (right preconditioning applies M^-1 once; left
+   preconditioning — the reference default, pca_gmres.rs:61 — runs the
+   whole recurrence on M^-1 A and measures the preconditioned
+   residual), true residual recomputed, restart.
 
 ``tau`` maps the reference's drop tolerance (pca_gmres.rs:46-50) onto
 the LS solve: singular directions below ``tau`` (relative) are dropped
@@ -250,13 +252,23 @@ def ca_gmres(
     apply_M = (lambda v: v) if M is None else M.apply
     if M is None:
         side = "none"
-    if side not in ("right", "none"):
-        raise ValueError("ca_gmres supports side='right' or unpreconditioned")
+    if side not in ("left", "right", "none"):
+        raise ValueError(f"side must be left/right/none, got {side!r}")
 
     def op(v):
-        return A.matvec(apply_M(v)) if side == "right" else A.matvec(v)
+        # left: Arnoldi on M^-1 A, preconditioned residual (reference
+        # default, pca_gmres.rs:61); right: A M^-1, true residual
+        if side == "right":
+            return A.matvec(apply_M(v))
+        if side == "left":
+            return apply_M(A.matvec(v))
+        return A.matvec(v)
 
-    r0 = b - A.matvec(x)
+    def residual(x):
+        r = b - A.matvec(x)
+        return apply_M(r) if side == "left" else r
+
+    r0 = residual(x)
     res0 = jnp.sqrt(dot(r0, r0, axis_name))
     threshold = jnp.maximum(tol * res0, atol)
     hist = init_history(maxiter, res0, record_history)
@@ -273,7 +285,7 @@ def ca_gmres(
         raise ValueError(f"basis must be 'newton' or 'monomial', got {basis!r}")
 
     def body(c: _Carry) -> _Carry:
-        r = b - A.matvec(c.x)
+        r = residual(c.x)
         beta = jnp.sqrt(dot(r, r, axis_name))
 
         Q = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(safe_div(r, beta))
@@ -411,7 +423,7 @@ def ca_gmres(
             update = apply_M(update)
         x_new = c.x + update
 
-        r_new = b - A.matvec(x_new)
+        r_new = residual(x_new)
         res = jnp.sqrt(dot(r_new, r_new, axis_name))
         it = c.it + m
         # detect stagnation (ill-conditioned basis): no progress. NaN res

@@ -161,6 +161,22 @@ def test_ca_gmres_right_preconditioned():
     )
 
 
+def test_ca_gmres_left_preconditioned():
+    """Reference default is LEFT preconditioning (pca_gmres.rs:61)."""
+    from kryst_tpu.pc.ilu import ilu0
+
+    a = gallery.convection_diffusion_2d(12)
+    A = a.to_ell()
+    b = jnp.ones(144)
+    x, stats = ca_gmres(
+        A, b, M=ilu0(a), side="left", tol=1e-8, maxiter=300, restart=6
+    )
+    assert bool(stats.reached_tol)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a.todense(), np.ones(144)), atol=1e-5
+    )
+
+
 def test_ca_gmres_matches_gmres_iterspace():
     # same subspace dimension -> comparable residual trajectory
     from kryst_tpu.solvers.gmres import gmres
