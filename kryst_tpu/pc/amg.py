@@ -70,14 +70,23 @@ def _filter_rap(A: sp.csr_matrix, drop_tol: float) -> sp.csr_matrix:
     if drop_tol <= 0:
         return A
     coo = A.tocoo()
-    rowmax = np.zeros(A.shape[0])
-    np.maximum.at(rowmax, coo.row, np.abs(coo.data))
+    n = A.shape[0]
+    absd = np.abs(coo.data)
+    # segment row-max via reduceat on the CSR layout (np.maximum.at is
+    # ~20x slower; this is a per-level cost on every RAP)
+    Ac = A.tocsr()
+    nnz_row = np.diff(Ac.indptr)
+    rowmax = np.zeros(n)
+    has = nnz_row > 0
+    if has.any():
+        rowmax[has] = np.maximum.reduceat(np.abs(Ac.data), Ac.indptr[:-1][has])
     # symmetric criterion sqrt(rowmax_i * rowmax_j): a row-relative test
     # would drop a_ij but keep a_ji, destroying the symmetry PCG needs
     thresh = drop_tol * np.sqrt(rowmax[coo.row] * rowmax[coo.col])
-    keep = (np.abs(coo.data) >= thresh) | (coo.row == coo.col)
-    lump = np.zeros(A.shape[0])
-    np.add.at(lump, coo.row, np.where(keep, 0.0, np.abs(coo.data)))
+    keep = (absd >= thresh) | (coo.row == coo.col)
+    lump = np.bincount(
+        coo.row, weights=np.where(keep, 0.0, absd), minlength=n
+    )
     Af = sp.csr_matrix(
         (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
     ) + sp.diags(lump)
@@ -101,8 +110,12 @@ def _truncate_p(
         return P
     coo = P.tocoo()
     absd = np.abs(coo.data)
+    Pc = P.tocsr()
+    nnzr = np.diff(Pc.indptr)
     rowmax = np.zeros(P.shape[0])
-    np.maximum.at(rowmax, coo.row, absd)
+    hasr = nnzr > 0
+    if hasr.any():
+        rowmax[hasr] = np.maximum.reduceat(np.abs(Pc.data), Pc.indptr[:-1][hasr])
     keep = absd >= drop_tol * rowmax[coo.row]
     if max_per_row:
         order = np.lexsort((-absd, coo.row))
@@ -115,10 +128,10 @@ def _truncate_p(
         pos = np.empty(len(order), dtype=np.int64)
         pos[order] = within
         keep &= pos < max_per_row
-    oldsum = np.zeros(P.shape[0])
-    np.add.at(oldsum, coo.row, coo.data)
-    newsum = np.zeros(P.shape[0])
-    np.add.at(newsum, coo.row, np.where(keep, coo.data, 0.0))
+    oldsum = np.bincount(coo.row, weights=coo.data, minlength=P.shape[0])
+    newsum = np.bincount(
+        coo.row, weights=np.where(keep, coo.data, 0.0), minlength=P.shape[0]
+    )
     safe = np.abs(newsum) > 1e-12 * np.maximum(np.abs(oldsum), 1e-300)
     scale = np.where(safe, oldsum / np.where(safe, newsum, 1.0), 1.0)
     # a near-cancelling row would get a huge/sign-flipping rescale; keep
