@@ -412,9 +412,15 @@ def solve(
     """One-call functional entry point (the ``solve_context`` analogue,
     ksp_context.rs:88-148).
 
-    ``A`` may be a device operator/array; ``a_host`` optionally carries the
-    host CSR for setup-heavy PCs. ``pc`` is None, a state with ``.apply``,
-    a :class:`PCConfig`, or a string alias.
+    ``A`` may be a device operator/array, a :class:`CSRMatrix`, or any
+    ``scipy.sparse`` matrix (converted to the host CSR assembly format);
+    ``a_host`` optionally carries the host CSR for setup-heavy PCs.
+    ``pc`` is None, a state with ``.apply``, a :class:`PCConfig`, or a
+    string alias.
+
+    ``b`` may be a vector or an ``(n, k)`` block of k right-hand sides —
+    the whole solver is vmapped over columns (stats gain a leading k
+    axis; the f32 auto-refine floor policy applies to 1-D solves only).
 
     ``refine``: policy at the low-precision true-residual floor. An f32
     solve cannot certify relative residuals below ~eps*kappa (measured
@@ -436,7 +442,18 @@ def solve(
     """
     kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
     b = jnp.asarray(b)
+    if b.ndim not in (1, 2):
+        raise ValueError(f"b must be a vector or (n, k) block, got {b.shape}")
     dtype = b.dtype
+    # scipy.sparse input: treat like a host CSRMatrix (assembly format)
+    try:
+        import scipy.sparse as _sp
+
+        if _sp.issparse(A):
+            C = A.tocsr()
+            A = CSRMatrix(C.indptr, C.indices, C.data, C.shape)
+    except ImportError:  # pragma: no cover
+        pass
     if grid is None and isinstance(pc, PCConfig):
         g = dict(pc.params).get("grid")
         if g is not None and math.prod(g) == b.shape[0]:
@@ -491,20 +508,21 @@ def solve(
             )
         from kryst_tpu.pc.sor import eisenstat_cg
 
-        return eisenstat_cg(
-            a_host, b, x0,
+        _eis = lambda rhs, x0_: eisenstat_cg(
+            a_host, rhs, x0_,
             omega=dict(pc.params).get("omega", 1.0),
             dtype=dtype, tol=tol, maxiter=mi, **options,
         )
+        return _batch_rhs(_eis, b, x0)
 
     M = None
     if kind not in _no_pc:
         M = _resolve_pc(pc, a_host, A, dtype)
 
     if kind == SolverKind.LU:
-        return lu_solve(A, b)
+        return _batch_rhs(lambda rhs, _x0: lu_solve(A, rhs), b, x0)
     if kind == SolverKind.QR:
-        return qr_solve(A, b)
+        return _batch_rhs(lambda rhs, _x0: qr_solve(A, rhs), b, x0)
 
     def _dispatch(Aop, rhs, x0_, tol_, mi_, M_=None):
         # M_ lets the refinement path pass the PC state as a jit ARGUMENT
@@ -553,12 +571,42 @@ def solve(
             )
         raise ValueError(f"unhandled solver kind: {kind}")
 
+    if b.ndim == 2:
+        # multi-RHS: vmap the whole solver over RHS columns (lanes
+        # converge independently; all lanes run until the last finishes).
+        # Stats gain a leading k axis; the f32 floor policy needs scalar
+        # stats, so refinement must be invoked per column explicitly.
+        return _batch_rhs(
+            lambda rhs, x0_: _dispatch(A, rhs, x0_, tol, mi), b, x0
+        )
     x, stats = _dispatch(A, b, x0, tol, mi)
     x, stats = _floor_policy(
         x, stats, _dispatch, A, b, x0, a_host, kind, tol, mi, refine, options,
         M=M, grid=grid,
     )
     return x, stats
+
+
+def _batch_rhs(fn, b, x0):
+    """Apply a ``(rhs, x0) -> (x, stats)`` solver over the columns of a
+    2-D rhs block via vmap; pass through untouched for 1-D rhs.
+
+    Returned ``x`` is (n, k) like ``b``; stats fields gain a leading k
+    axis (one entry per column).
+    """
+    if b.ndim == 1:
+        return fn(b, x0)
+    import jax
+
+    cols = b.T
+    if x0 is None:
+        X, stats = jax.vmap(lambda r: fn(r, None))(cols)
+    else:
+        x0c = jnp.asarray(x0)
+        if x0c.shape != b.shape:
+            raise ValueError(f"x0 shape {x0c.shape} must match b {b.shape}")
+        X, stats = jax.vmap(fn)(cols, x0c.T)
+    return X.T, stats
 
 
 def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,

@@ -348,3 +348,35 @@ def test_solve_gmg_string_alias_with_grid():
     assert bool(st.reached_tol) and int(st.iterations) < 25
     with pytest.raises(ValueError, match="grid"):
         solve(a, b, solver="pcg", pc="gmg", tol=1e-8)
+
+
+def test_solve_accepts_scipy_sparse():
+    import scipy.sparse as sp
+
+    a = gallery.poisson_2d(12)
+    A_sp = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    x, st = solve(A_sp, np.ones(144), solver="pcg", pc="jacobi", tol=1e-6)
+    r = A_sp @ np.asarray(x, dtype=np.float64) - 1.0
+    assert np.linalg.norm(r) / 12.0 < 1e-4
+
+
+def test_solve_multi_rhs_block():
+    """(n, k) rhs blocks vmap the whole solver over columns."""
+    import scipy.sparse as sp
+
+    a = gallery.poisson_2d(12)
+    dense = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape).toarray()
+    n = 144
+    B = np.stack(
+        [np.ones(n), np.linspace(0.0, 1.0, n), np.sin(np.arange(float(n)))],
+        axis=1,
+    )
+    for solver, pc in [("pcg", "jacobi"), ("gmres_right", "ilu0"), ("lu", None)]:
+        X, st = solve(a, B, solver=solver, pc=pc, tol=1e-8)
+        assert X.shape == B.shape
+        assert np.abs(dense @ np.asarray(X, np.float64) - B).max() < 1e-3
+    # per-column stats
+    X, st = solve(a, B, solver="pcg", pc="jacobi", tol=1e-8)
+    assert np.asarray(st.iterations).shape == (3,)
+    with pytest.raises(ValueError):
+        solve(a, B, np.zeros(n), solver="pcg", pc="jacobi")

@@ -164,3 +164,30 @@ def test_orthog_unknown_raises():
     a = gallery.poisson_2d(4)
     with pytest.raises(ValueError, match="orthog"):
         gmres(a.to_ell(), jnp.ones(16), orthog="nope")
+
+
+def test_panel_dispatch_forms_are_equivalent(monkeypatch):
+    """Full-width (VMEM-resident) and chunked active-prefix panels must
+    produce identical orthogonalization — the residency dispatch is a
+    perf decision only."""
+    import numpy as np
+
+    from kryst_tpu.solvers import gmres as gm
+
+    rng = np.random.default_rng(7)
+    mp1, n = 9, 40
+    V = jnp.asarray(rng.standard_normal((mp1, n)))
+    w = jnp.asarray(rng.standard_normal(n))
+    for j in (0, 3, 7, 8):
+        monkeypatch.setattr(gm, "_PANEL_RESIDENT_BYTES", 1 << 40)
+        h_full = gm._panel_dots(V, w, jnp.int32(j), None)
+        c_full = gm._panel_correction(V, h_full, jnp.int32(j))
+        w_full, hh_full = gm._orthogonalize_cgs2(V, w, jnp.int32(j))
+        monkeypatch.setattr(gm, "_PANEL_RESIDENT_BYTES", 0)
+        h_chunk = gm._panel_dots(V, w, jnp.int32(j), None)
+        c_chunk = gm._panel_correction(V, h_chunk, jnp.int32(j))
+        w_chunk, hh_chunk = gm._orthogonalize_cgs2(V, w, jnp.int32(j))
+        np.testing.assert_allclose(h_full, h_chunk, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(c_full, c_chunk, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(w_full, w_chunk, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(hh_full, hh_chunk, rtol=1e-12, atol=1e-14)
