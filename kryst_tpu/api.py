@@ -692,7 +692,11 @@ def _floor_policy(x, stats, dispatch, A, b, x0, a_host, kind, tol, mi,
                 reached_tol=jnp.asarray(True),
             )
         # claim failed the f64 check: fall through to refinement
-    f64_ok = jnp.zeros((), jnp.float64).dtype == jnp.float64
+    # (suppress jax's truncation UserWarning — unavailability of f64 is
+    # exactly what is being probed, and the warn path below is louder)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        f64_ok = jnp.zeros((), jnp.float64).dtype == jnp.float64
     A64 = _f64_operator(A, a_host, grid=grid) if f64_ok else None
     if A64 is None:
         if verify_claim:
@@ -784,6 +788,14 @@ class KSP:
         return self._pc_state
 
     def solve(self, A, b, x0=None):
+        try:
+            import scipy.sparse as _sp
+
+            if _sp.issparse(A):
+                C = A.tocsr()
+                A = CSRMatrix(C.indptr, C.indices, C.data, C.shape)
+        except ImportError:  # pragma: no cover
+            pass
         a_host = A if isinstance(A, CSRMatrix) else None
         if self._pc_state is None and self.pc is not None:
             dev = None if a_host is not None else as_operator(A)
