@@ -63,6 +63,7 @@ class SolverKind(enum.Enum):
     QR = "qr"
     PIPECG = "pipecg"
     CA_GMRES = "ca_gmres"
+    BLOCK_PCG = "block_pcg"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -571,6 +572,18 @@ def solve(
             )
         raise ValueError(f"unhandled solver kind: {kind}")
 
+    if kind == SolverKind.BLOCK_PCG:
+        # true block-Krylov multi-RHS: ONE shared Krylov space, one
+        # coefficient-stream pass per block matvec (solvers/block_cg.py)
+        from kryst_tpu.solvers.block_cg import block_pcg
+
+        Bb = b if b.ndim == 2 else b[:, None]
+        X0b = None
+        if x0 is not None:
+            X0b = jnp.asarray(x0)
+            X0b = X0b if X0b.ndim == 2 else X0b[:, None]
+        X, st = block_pcg(A, Bb, X0b, M=M, tol=tol, maxiter=mi, **options)
+        return (X if b.ndim == 2 else X[:, 0]), st
     if b.ndim == 2:
         # multi-RHS: vmap the whole solver over RHS columns (lanes
         # converge independently; all lanes run until the last finishes).
