@@ -522,6 +522,24 @@ def main():
         )
         emit("config5_sharded_pipecg_iters", int(s5.iterations), "iterations",
              1.0 if bool(s5.reached_tol) else 0.0)
+
+        # the BASELINE config-5 pairing also names CA-GMRES + Additive
+        # Schwarz: run it sharded (shard-local Schwarz blocks, 4 Gram
+        # psums per s matvecs)
+        from kryst_tpu.parallel.sharded import shard_schwarz
+        from kryst_tpu.solvers.ca_gmres import ca_gmres as _ca
+
+        M5 = shard_schwarz(A5d, degree=4)
+        x5c, s5c = sharded_solve(
+            _ca, A5d, b5, mesh=mesh5, M=M5, tol=1e-6, maxiter=600,
+            restart=20,
+        )
+        log(
+            f"config5: sharded ca_gmres+shard-ASM: iters={int(s5c.iterations)} "
+            f"reached={bool(s5c.reached_tol)}"
+        )
+        emit("config5_sharded_ca_gmres_asm_iters", int(s5c.iterations),
+             "iterations", 1.0 if bool(s5c.reached_tol) else 0.0)
     except Exception as e:
         log(f"config5 failed: {type(e).__name__}: {e}")
 
