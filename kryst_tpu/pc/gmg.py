@@ -319,9 +319,14 @@ class GMGPC:
                 cheb_ubs.append(max(ub, 1e-12))
             smoothed = lvl_idx < smooth_levels
             if smoothed:
-                P = (P0 - p_omega * (sp.diags(dinv) @ (A @ P0))).tocsr()
+                AP0 = (A @ P0).tocsr()
+                P = (P0 - p_omega * (sp.diags(dinv) @ AP0)).tocsr()
+                # A P = A P0 - w (A D^-1) (A P0): reuses A@P0 — one big
+                # matmul instead of recomputing A@P from scratch below
+                AP = (AP0 - p_omega * ((A @ sp.diags(dinv)) @ AP0)).tocsr()
             else:
                 P = P0
+                AP = None
             # grid= enables the constant-stencil fast path (zero
             # coefficient traffic) on levels whose RAP stays exactly
             # constant-coefficient — L0 of the BASELINE Poisson configs
@@ -353,7 +358,11 @@ class GMGPC:
                     smoothed=smoothed,
                 )
             )
-            A = (P.T @ A @ P).tocsr()  # exact Galerkin
+            # exact Galerkin: P^T (A P). Materializing P^T as CSR avoids
+            # SciPy's repeated csc<->csr conversions inside the chained
+            # product (csr_tocsc was ~12% of an 8M setup)
+            Pt = P.T.tocsr()
+            A = (Pt @ (AP if AP is not None else (A @ P).tocsr())).tocsr()
             A.eliminate_zeros()
             fine = coarse
         coarse_inv = np.linalg.inv(A.toarray())  # host, f64
