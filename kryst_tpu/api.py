@@ -441,6 +441,8 @@ def solve(
     zero-coefficient-traffic matvec, ops/conststencil.py). Defaults to
     the PC config's own ``grid`` parameter when that matches ``A``.
     """
+    if isinstance(solver, str) and solver.lower() == "gmres":
+        solver = "gmres_left"  # reference default side (gmres.rs:53)
     kind = SolverKind(solver) if not isinstance(solver, SolverKind) else solver
     b = jnp.asarray(b)
     if b.ndim not in (1, 2):
