@@ -15,6 +15,9 @@ import jax
 # single-chip TPU on dev boxes)
 if os.environ.get("KRYST_DIST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # f64 on the CPU mesh: an f32 solve at 64^2 stalls at its eps*kappa
+    # floor (~2e-4) before reaching tol=1e-6 (see docs/TUNING.md §2)
+    jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,7 +9,32 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import subprocess
+
 import jax
+
+
+def _tpu_responsive(timeout_s: int = 300) -> bool:
+    """Probe the TPU relay in a subprocess: a killed remote compile can
+    wedge it for hours, and initializing the backend in-process would
+    hang this example (see CLAUDE.md)."""
+    code = (
+        "import jax; "
+        "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache'); "
+        "import jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+if not _tpu_responsive():
+    print("TPU relay unresponsive -> CPU backend")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
