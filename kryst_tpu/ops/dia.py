@@ -179,14 +179,18 @@ class DIAOperator:
         return dia_spmv_streamed(self.data, self.offsets, x)
 
     def matvec_block(self, X: Array) -> Array:
-        """A @ X for X of shape (n, r): one pass over the coefficient
-        planes for ALL r columns (a vmapped matvec would re-stream the
-        coefficients r times — the dominant traffic beyond VMEM).
+        """A @ X for X of shape (n, r).
 
-        Uses the shifted-slice XLA block form everywhere; the const-
-        stencil case reads no coefficients at all. (A multi-vector
-        variant of the planned streaming kernel is a ROADMAP item; the
-        XLA form is correct at every size.)
+        Resident sizes use the shifted-slice XLA block form: one pass
+        over the coefficient planes for ALL r columns at VMEM speed (a
+        per-column matvec reads them r times). Beyond VMEM the XLA form
+        sits at the ~79 GB/s cliff, which the r-fold coefficient
+        amortization does NOT recover for small r (17n bytes at 79 GB/s
+        vs r*11n at 775 for the 7-point case) — so planned/const
+        streaming operators run the measured-roofline single-vector
+        path per column (unrolled; r is static). A multi-vector variant
+        of the streamed kernel is the ROADMAP item that would remove
+        the re-reads.
         """
         if self.cs_deltas is not None and (
             _on_cpu() or self.data.dtype.itemsize >= 8
@@ -200,6 +204,12 @@ class DIAOperator:
                 ),
                 in_axes=1, out_axes=1,
             )(X)
+        if not _on_cpu() and self.data.dtype.itemsize < 8 and (
+            self.data_blk is not None or self.cs_pallas
+        ):
+            return jnp.stack(
+                [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
+            )
         return dia_spmv_xla_block(self.data, self.offsets, X)
 
     def rmatvec(self, x: Array) -> Array:
