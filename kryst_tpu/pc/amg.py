@@ -69,26 +69,32 @@ def _filter_rap(A: sp.csr_matrix, drop_tol: float) -> sp.csr_matrix:
     """
     if drop_tol <= 0:
         return A
-    coo = A.tocoo()
-    n = A.shape[0]
-    absd = np.abs(coo.data)
-    # segment row-max via reduceat on the CSR layout (np.maximum.at is
-    # ~20x slower; this is a per-level cost on every RAP)
+    # CSR-native throughout: the COO round-trip + per-nnz sqrt + repeated
+    # fancy gathers cost 26 s of a 39 s setup at 65k (expander RAPs carry
+    # millions of entries before filtering prunes them)
     Ac = A.tocsr()
+    Ac.sum_duplicates()
+    n = Ac.shape[0]
+    absd = np.abs(Ac.data)
     nnz_row = np.diff(Ac.indptr)
     rowmax = np.zeros(n)
     has = nnz_row > 0
     if has.any():
-        rowmax[has] = np.maximum.reduceat(np.abs(Ac.data), Ac.indptr[:-1][has])
-    # symmetric criterion sqrt(rowmax_i * rowmax_j): a row-relative test
-    # would drop a_ij but keep a_ji, destroying the symmetry PCG needs
-    thresh = drop_tol * np.sqrt(rowmax[coo.row] * rowmax[coo.col])
-    keep = (absd >= thresh) | (coo.row == coo.col)
-    lump = np.bincount(
-        coo.row, weights=np.where(keep, 0.0, absd), minlength=n
-    )
+        rowmax[has] = np.maximum.reduceat(absd, Ac.indptr[:-1][has])
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_row)
+    cols = Ac.indices
+    # symmetric criterion |a_ij| >= tol*sqrt(rowmax_i*rowmax_j), squared
+    # to skip the per-nnz sqrt; a row-relative test would drop a_ij but
+    # keep a_ji, destroying the symmetry PCG needs
+    keep = (
+        absd * absd >= (drop_tol * drop_tol) * rowmax[rows] * rowmax[cols]
+    ) | (rows == cols)
+    lump = np.bincount(rows, weights=np.where(keep, 0.0, absd), minlength=n)
+    # kept entries stay in CSR order -> build the filtered CSR directly
+    indptr2 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows[keep], minlength=n), out=indptr2[1:])
     Af = sp.csr_matrix(
-        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
+        (Ac.data[keep], cols[keep], indptr2), shape=A.shape
     ) + sp.diags(lump)
     return Af.tocsr()
 
