@@ -60,6 +60,7 @@ from kryst_tpu.solvers.direct import (
     qr_solve,
 )
 from kryst_tpu.solvers.block_cg import block_pcg
+from kryst_tpu.solvers.block_gmres import block_gmres
 from kryst_tpu.solvers.ca_gmres import ca_gmres
 from kryst_tpu.solvers.gmres import fgmres, gmres
 from kryst_tpu.solvers.minres import minres

@@ -64,6 +64,7 @@ class SolverKind(enum.Enum):
     PIPECG = "pipecg"
     CA_GMRES = "ca_gmres"
     BLOCK_PCG = "block_pcg"
+    BLOCK_GMRES = "block_gmres"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -574,17 +575,26 @@ def solve(
             )
         raise ValueError(f"unhandled solver kind: {kind}")
 
-    if kind == SolverKind.BLOCK_PCG:
+    if kind in (SolverKind.BLOCK_PCG, SolverKind.BLOCK_GMRES):
         # true block-Krylov multi-RHS: ONE shared Krylov space, one
-        # coefficient-stream pass per block matvec (solvers/block_cg.py)
-        from kryst_tpu.solvers.block_cg import block_pcg
-
+        # coefficient-stream pass per block matvec (solvers/block_cg.py,
+        # solvers/block_gmres.py)
         Bb = b if b.ndim == 2 else b[:, None]
         X0b = None
         if x0 is not None:
             X0b = jnp.asarray(x0)
             X0b = X0b if X0b.ndim == 2 else X0b[:, None]
-        X, st = block_pcg(A, Bb, X0b, M=M, tol=tol, maxiter=mi, **options)
+        if kind == SolverKind.BLOCK_PCG:
+            from kryst_tpu.solvers.block_cg import block_pcg
+
+            X, st = block_pcg(A, Bb, X0b, M=M, tol=tol, maxiter=mi, **options)
+        else:
+            from kryst_tpu.solvers.block_gmres import block_gmres
+
+            X, st = block_gmres(
+                A, Bb, X0b, M=M, tol=tol, maxiter=mi, restart=restart,
+                **options,
+            )
         return (X if b.ndim == 2 else X[:, 0]), st
     if b.ndim == 2:
         # multi-RHS: vmap the whole solver over RHS columns (lanes
