@@ -298,6 +298,45 @@ def main():
     traffic = (A.data.size + 2 * n) * 4
     log(f"DIA SpMV 1M: {dt*1e6:.1f} us -> {traffic/dt/1e9:.0f} GB/s effective")
 
+    # block-Krylov multi-RHS amortization: one coefficient pass + (k, k)
+    # MXU reductions for 8 RHS vs 8 independent PCG runs
+    try:
+        from kryst_tpu.solvers.block_cg import block_pcg
+
+        B8 = jnp.asarray(
+            np.random.default_rng(5).standard_normal((n, 8)).astype(np.float32)
+        )
+        dt_blk = slope(
+            lambda it: (
+                lambda f=jax.jit(
+                    lambda Aa, Bb, Mm, it=it: block_pcg(
+                        Aa, Bb, M=Mm, tol=0.0, maxiter=it
+                    )[1].iterations
+                ): f(A, B8, M)
+            ),
+            50, 150, reps=2,
+        )
+        dt_pcg1 = slope(
+            lambda it: (
+                lambda f=jax.jit(
+                    lambda Aa, bb, Mm, it=it: pcg(
+                        Aa, bb, M=Mm, tol=0.0, maxiter=it,
+                        true_residual=False,
+                    )[1].iterations
+                ): f(A, b, M)
+            ),
+            100, 300, reps=2,
+        )
+        per_rhs = dt_blk / 8.0
+        log(
+            f"block_pcg 1M k=8: {dt_blk*1e6:.1f} us/block-iter "
+            f"({per_rhs*1e6:.1f} us/RHS vs {dt_pcg1*1e6:.1f} single)"
+        )
+        emit("block_pcg_1M_k8_per_iteration_per_rhs", per_rhs * 1e6, "us",
+             dt_pcg1 / per_rhs)
+    except Exception as e:
+        log(f"block_pcg bench failed: {type(e).__name__}: {e}")
+
     size_tag = "1M" if n3 == 100 else f"{n3}cubed"
     t_refined = None
     try:
