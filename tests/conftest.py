@@ -28,6 +28,9 @@ import pytest
 _SMOKE = {
     "test_advice_r2.py::test_symmetric_detection_makes_rmatvec_matvec",
     "test_amg.py::test_amg_is_jittable",
+    "test_block_cg.py::test_block_pcg_matches_direct",
+    "test_block_gmres.py::test_block_gmres_matches_direct",
+    "test_setup_paths.py::test_csr_to_dia_noncanonical_rows",
     "test_api.py::test_solve_dispatch_all_iterative_kinds",
     "test_api.py::test_ca_gmres_small",
     "test_cg.py::test_cg_small_spd_closed_form",
