@@ -65,7 +65,16 @@ def greedy_distance1_coloring(adj: List[np.ndarray]) -> np.ndarray:
 
 
 def color_graph(a: CSRMatrix, distance: int = 2) -> np.ndarray:
-    """Color the sparsity graph of ``a`` (coloring.rs:57-64)."""
+    """Color the sparsity graph of ``a`` (coloring.rs:57-64).
+
+    Dispatches to the native (C++) greedy kernel when available — identical
+    deterministic ascending-row greedy, bitwise-equal colors (tested in
+    tests/test_native.py) — and falls back to the Python implementation."""
+    from kryst_tpu import native
+
+    colors = native.color(a.indptr, a.indices, a.shape[0], distance)
+    if colors is not None:
+        return colors
     adj = extract_adjacency(a)
     if distance == 1:
         return greedy_distance1_coloring(adj)
@@ -78,12 +87,27 @@ def build_blocks_from_colors(colors: np.ndarray) -> List[np.ndarray]:
     return [np.nonzero(colors == c)[0] for c in range(ncolors)]
 
 
+def _bucket_levels(level: np.ndarray, nlev: int) -> List[np.ndarray]:
+    """Group row indices by level (ascending within each level) — stable
+    argsort + split instead of one nonzero pass per level."""
+    if nlev == 0:
+        return []
+    order = np.argsort(level, kind="stable")
+    counts = np.bincount(level, minlength=nlev)
+    return np.split(order, np.cumsum(counts)[:-1])
+
+
 def level_schedule_lower(indptr, indices, n: int) -> List[np.ndarray]:
     """Level sets for a (strictly) lower-triangular pattern.
 
     ``level[i] = 1 + max(level[j])`` over dependencies ``j < i`` in row i.
     Rows within a level have no mutual dependency and solve in parallel.
     """
+    from kryst_tpu import native
+
+    nat = native.level_schedule(indptr, indices, n, lower=True)
+    if nat is not None:
+        return _bucket_levels(*nat)
     level = np.zeros(n, dtype=np.int64)
     for i in range(n):
         sl = slice(indptr[i], indptr[i + 1])
@@ -96,6 +120,11 @@ def level_schedule_lower(indptr, indices, n: int) -> List[np.ndarray]:
 
 def level_schedule_upper(indptr, indices, n: int) -> List[np.ndarray]:
     """Level sets for a (strictly) upper-triangular pattern (reverse order)."""
+    from kryst_tpu import native
+
+    nat = native.level_schedule(indptr, indices, n, lower=False)
+    if nat is not None:
+        return _bucket_levels(*nat)
     level = np.zeros(n, dtype=np.int64)
     for i in range(n - 1, -1, -1):
         sl = slice(indptr[i], indptr[i + 1])

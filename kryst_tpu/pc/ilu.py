@@ -26,12 +26,35 @@ import numpy as np
 from jax import Array
 from jax.tree_util import register_dataclass
 
+from kryst_tpu import native
 from kryst_tpu.matrix.csr import CSRMatrix
 from kryst_tpu.pc.triangular import (
     TriangularFactor,
     lower_factor_from_csr,
     upper_factor_from_csr,
 )
+
+
+def _split_factored_csr(indptr, indices, data, n, dtype):
+    """Split a combined factored CSR (L strict + diag + U, sorted columns)
+    into the (L strict, U incl. diag) CSRMatrix pair `_rowdicts_to_LU`
+    produces — vectorized, no Python row loop."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    low = indices < rows
+
+    def part(mask):
+        r, c, v = rows[mask], indices[mask], data[mask].astype(dtype)
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(ptr, r + 1, 1)
+        np.cumsum(ptr, out=ptr)
+        return CSRMatrix(ptr, c, v, (n, n))
+
+    L = part(low)
+    if L.nnz == 0:  # same placeholder the rowdict path uses
+        L = CSRMatrix.from_coo([0], [0], np.zeros(1, dtype=dtype), (n, n))
+    return L, part(~low)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,8 +142,29 @@ def ilu0_dia(a: CSRMatrix, sweeps: int = 6, dtype=None) -> ILUDiaPC:
     Same factorization as :func:`ilu0`; only the apply differs."""
     n = a.shape[0]
     dtype = dtype or a.data.dtype
-    rows = _factor_ikj(_csr_to_rowdicts(a), n)
-    return _rowdicts_to_dia_LU(rows, n, dtype, sweeps)
+    fac = _factor0_csr(a)
+    if fac is None:
+        rows = _factor_ikj(_csr_to_rowdicts(a), n)
+        return _rowdicts_to_dia_LU(rows, n, dtype, sweeps)
+
+    from kryst_tpu.ops.dia import scipy_to_dia
+    import scipy.sparse as sp
+
+    indptr, indices, data = fac
+    rows_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    low, up = indices < rows_of, indices > rows_of
+    ud = np.ones(n)
+    dmask = indices == rows_of
+    ud[rows_of[dmask]] = data[dmask]
+    Ls = sp.csr_matrix((data[low], (rows_of[low], indices[low])), shape=(n, n))
+    Us = sp.csr_matrix((data[up], (rows_of[up], indices[up])), shape=(n, n))
+    inv_ud = np.where(ud != 0, 1.0 / np.where(ud != 0, ud, 1.0), 0.0)
+    return ILUDiaPC(
+        Lstrict=scipy_to_dia(Ls, dtype=dtype),
+        Ustrict=scipy_to_dia(Us, dtype=dtype),
+        u_inv_diag=jnp.asarray(inv_ud.astype(dtype)),
+        sweeps=sweeps,
+    )
 
 
 def _csr_to_rowdicts(a: CSRMatrix):
@@ -163,12 +207,26 @@ def _factor_ikj(rows, n, zero_pivot_tol=0.0):
     return rows
 
 
+def _factor0_csr(a: CSRMatrix):
+    """ILU(0) factored values on A's pattern — native (C++) when available,
+    Python rowdict IKJ otherwise. Returns (indptr, indices, data) or None
+    when only the rowdict result exists."""
+    fac = native.ilu0(a.indptr, a.indices, a.data, a.shape[0])
+    if fac is not None:
+        return a.indptr, a.indices, fac
+    return None
+
+
 def ilu0(a: CSRMatrix, dtype=None) -> ILUPC:
     """ILU(0): zero fill-in, pattern of A (ilu.rs:59-100)."""
     n = a.shape[0]
     dtype = dtype or a.data.dtype
-    rows = _factor_ikj(_csr_to_rowdicts(a), n)
-    L, U = _rowdicts_to_LU(rows, n, dtype)
+    fac = _factor0_csr(a)
+    if fac is not None:
+        L, U = _split_factored_csr(*fac, n, dtype)
+    else:
+        rows = _factor_ikj(_csr_to_rowdicts(a), n)
+        L, U = _rowdicts_to_LU(rows, n, dtype)
     return ILUPC(
         L=lower_factor_from_csr(L, unit_diag=True, dtype=dtype),
         U=upper_factor_from_csr(U, unit_diag=False, dtype=dtype),
@@ -180,6 +238,13 @@ def ilup(a: CSRMatrix, fill: int = 1, dtype=None) -> ILUPC:
     on the expanded pattern (ilup.rs:83-122)."""
     n = a.shape[0]
     dtype = dtype or a.data.dtype
+    fac = native.ilup(a.indptr, a.indices, a.data, n, fill)
+    if fac is not None:
+        L, U = _split_factored_csr(*fac, n, dtype)
+        return ILUPC(
+            L=lower_factor_from_csr(L, unit_diag=True, dtype=dtype),
+            U=upper_factor_from_csr(U, unit_diag=False, dtype=dtype),
+        )
     # symbolic: levels[i][j]; pattern entries start at level 0 (ilup.rs:83-91)
     lev = []
     for i in range(n):
@@ -260,6 +325,19 @@ def ilut(
                 c, v = c[sel], v[sel]
             rows.append(dict(zip(c.tolist(), v.astype(np.float64).tolist())))
         L, U = _rowdicts_to_LU(rows, n, dtype)
+        return ILUPC(
+            L=lower_factor_from_csr(L, unit_diag=True, dtype=dtype),
+            U=upper_factor_from_csr(U, unit_diag=False, dtype=dtype),
+        )
+
+    fac = native.ilut(a.indptr, a.indices, a.data, n, fill, droptol)
+    if fac is not None:
+        (lptr, lind, ldat), (uptr, uind, udat) = fac
+        if len(ldat) == 0:  # placeholder as in _rowdicts_to_LU
+            L = CSRMatrix.from_coo([0], [0], np.zeros(1, dtype=dtype), (n, n))
+        else:
+            L = CSRMatrix(lptr, lind, ldat.astype(dtype), (n, n))
+        U = CSRMatrix(uptr, uind, udat.astype(dtype), (n, n))
         return ILUPC(
             L=lower_factor_from_csr(L, unit_diag=True, dtype=dtype),
             U=upper_factor_from_csr(U, unit_diag=False, dtype=dtype),

@@ -72,16 +72,40 @@ register_dataclass(
 )
 
 
-def _ell_from_rows(rows_cols, rows_vals, n: int, dtype) -> Tuple[np.ndarray, np.ndarray]:
-    k = max((len(c) for c in rows_cols), default=0)
-    k = max(k, 1)
+def _factor_from_csr(
+    A: CSRMatrix, lower: bool, unit_diag: bool, diag, dtype
+) -> TriangularFactor:
+    """Vectorized builder shared by lower/upper (no Python row loop —
+    the loop dominated exact-ILU setup once the factorization itself moved
+    to the native C++ kernels)."""
+    n = A.shape[0]
+    dtype = dtype or A.data.dtype
+    rows_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    strict = (A.indices < rows_of) if lower else (A.indices > rows_of)
+    s_rows = rows_of[strict]
+    s_cols = A.indices[strict]
+    s_vals = A.data[strict]
+    widths = np.bincount(s_rows, minlength=n)
+    k = max(int(widths.max()) if n else 0, 1)
     data = np.zeros((n, k), dtype=dtype)
     cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, k))
-    for i, (c, v) in enumerate(zip(rows_cols, rows_vals)):
-        w = len(c)
-        data[i, :w] = v
-        cols[i, :w] = c
-    return data, cols
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(widths, out=starts[1:])
+    pos = np.arange(len(s_rows)) - starts[:-1][s_rows]
+    data[s_rows, pos] = s_vals
+    cols[s_rows, pos] = s_cols
+    diag_out = np.ones(n, dtype=dtype)
+    if not unit_diag:
+        dmask = A.indices == rows_of
+        diag_out[rows_of[dmask]] = A.data[dmask].astype(dtype)
+    if diag is not None:
+        diag_out = np.asarray(diag, dtype=dtype)
+    sched = level_schedule_lower if lower else level_schedule_upper
+    levels = pad_levels(sched(starts, s_cols, n))
+    return TriangularFactor(
+        jnp.asarray(data), jnp.asarray(cols), jnp.asarray(diag_out),
+        jnp.asarray(levels), n,
+    )
 
 
 def lower_factor_from_csr(
@@ -89,65 +113,11 @@ def lower_factor_from_csr(
 ) -> TriangularFactor:
     """Build a lower TriangularFactor from a CSR holding the lower triangle
     (strict or with diagonal)."""
-    n = L.shape[0]
-    dtype = dtype or L.data.dtype
-    rows_cols, rows_vals, diag_out = [], [], np.ones(n, dtype=dtype)
-    strict_indptr = [0]
-    strict_indices = []
-    for i in range(n):
-        c, v = L.row(i)
-        strict = c < i
-        rows_cols.append(c[strict].astype(np.int32))
-        rows_vals.append(v[strict])
-        strict_indices.extend(c[strict].tolist())
-        strict_indptr.append(strict_indptr[-1] + int(strict.sum()))
-        if not unit_diag:
-            hit = c == i
-            if hit.any():
-                diag_out[i] = v[hit].sum()
-    if diag is not None:
-        diag_out = np.asarray(diag, dtype=dtype)
-    data, cols = _ell_from_rows(rows_cols, rows_vals, n, dtype)
-    levels = pad_levels(
-        level_schedule_lower(
-            np.asarray(strict_indptr), np.asarray(strict_indices, dtype=np.int64), n
-        )
-    )
-    return TriangularFactor(
-        jnp.asarray(data), jnp.asarray(cols), jnp.asarray(diag_out),
-        jnp.asarray(levels), n,
-    )
+    return _factor_from_csr(L, True, unit_diag, diag, dtype)
 
 
 def upper_factor_from_csr(
     U: CSRMatrix, unit_diag: bool = False, diag: Optional[np.ndarray] = None, dtype=None
 ) -> TriangularFactor:
     """Build an upper TriangularFactor from a CSR holding the upper triangle."""
-    n = U.shape[0]
-    dtype = dtype or U.data.dtype
-    rows_cols, rows_vals, diag_out = [], [], np.ones(n, dtype=dtype)
-    strict_indptr = [0]
-    strict_indices = []
-    for i in range(n):
-        c, v = U.row(i)
-        strict = c > i
-        rows_cols.append(c[strict].astype(np.int32))
-        rows_vals.append(v[strict])
-        strict_indices.extend(c[strict].tolist())
-        strict_indptr.append(strict_indptr[-1] + int(strict.sum()))
-        if not unit_diag:
-            hit = c == i
-            if hit.any():
-                diag_out[i] = v[hit].sum()
-    if diag is not None:
-        diag_out = np.asarray(diag, dtype=dtype)
-    data, cols = _ell_from_rows(rows_cols, rows_vals, n, dtype)
-    levels = pad_levels(
-        level_schedule_upper(
-            np.asarray(strict_indptr), np.asarray(strict_indices, dtype=np.int64), n
-        )
-    )
-    return TriangularFactor(
-        jnp.asarray(data), jnp.asarray(cols), jnp.asarray(diag_out),
-        jnp.asarray(levels), n,
-    )
+    return _factor_from_csr(U, False, unit_diag, diag, dtype)

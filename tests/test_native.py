@@ -1,0 +1,189 @@
+"""Native (C++) setup-kernel equivalence vs the Python oracle.
+
+The native module (kryst_tpu/native/kernels.cc) replicates the Python
+implementations in pc/ilu.py and pc/coloring.py arithmetic-exactly — same
+elimination order, same stable tie-breaking — so these tests assert
+BITWISE-identical factors/colors/levels, not just approximate agreement.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from kryst_tpu import native
+from kryst_tpu.matrix.csr import CSRMatrix
+from kryst_tpu.matrix.gallery import poisson_2d
+from kryst_tpu.pc import coloring
+from kryst_tpu.pc.ilu import (
+    _csr_to_rowdicts,
+    _factor_ikj,
+    _rowdicts_to_LU,
+    ilu0,
+    ilup,
+    ilut,
+)
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="no C++ toolchain — Python fallback in use"
+)
+
+
+def _rand_csr(n, density, seed, spd_shift=True):
+    rng = np.random.default_rng(seed)
+    a = sp.random(n, n, density=density, random_state=rng, format="csr")
+    a = a + a.T + spd_shift * sp.eye(n) * (2.0 * density * n)
+    a = sp.csr_matrix(a)
+    a.sort_indices()
+    a.sum_duplicates()
+    return CSRMatrix(a.indptr.astype(np.int64), a.indices.astype(np.int64),
+                     a.data.astype(np.float64), a.shape)
+
+
+def _python_factored_csr(a):
+    """Combined factored rows via the Python oracle, as sorted CSR arrays."""
+    rows = _factor_ikj(_csr_to_rowdicts(a), a.shape[0])
+    L, U = _rowdicts_to_LU(rows, a.shape[0], np.float64)
+    return L, U
+
+
+@pytest.mark.smoke
+def test_ilu0_native_matches_python_bitwise():
+    a = _rand_csr(80, 0.08, seed=0)
+    fac = native.ilu0(a.indptr, a.indices, a.data, a.shape[0])
+    assert fac is not None
+    rows = _factor_ikj(_csr_to_rowdicts(a), a.shape[0])
+    # reconstruct the python factored values in CSR order
+    expect = np.empty_like(fac)
+    k = 0
+    for i in range(a.shape[0]):
+        cols, _ = a.row(i)
+        for j in cols:
+            expect[k] = rows[i][int(j)]
+            k += 1
+    np.testing.assert_array_equal(fac, expect)  # bitwise
+
+
+def test_ilu0_pc_native_vs_python_apply():
+    a = poisson_2d(12)
+    pc_nat = ilu0(a)
+    import kryst_tpu.pc.ilu as ilu_mod
+
+    # force the Python path
+    orig = ilu_mod.native.ilu0
+    ilu_mod.native.ilu0 = lambda *args, **kw: None
+    try:
+        pc_py = ilu0(a)
+    finally:
+        ilu_mod.native.ilu0 = orig
+    import jax.numpy as jnp
+
+    r = jnp.asarray(np.random.default_rng(1).standard_normal(a.shape[0]))
+    za = np.asarray(pc_nat.apply(r))
+    zb = np.asarray(pc_py.apply(r))
+    np.testing.assert_array_equal(za, zb)
+
+
+def test_ilu0_zero_pivot_raises():
+    # row 1 has a zero pivot after elimination: [[0,1],[1,0]] pattern
+    a = CSRMatrix.from_coo([0, 0, 1, 1], [0, 1, 0, 1],
+                           np.array([0.0, 1.0, 1.0, 1.0]), (2, 2))
+    with pytest.raises(ZeroDivisionError):
+        native.ilu0(a.indptr, a.indices, a.data, 2)
+
+
+@pytest.mark.parametrize("fill", [1, 2])
+def test_ilup_native_matches_python_bitwise(fill):
+    a = _rand_csr(60, 0.08, seed=2)
+    import kryst_tpu.pc.ilu as ilu_mod
+
+    pc_nat = ilup(a, fill=fill)
+    orig = ilu_mod.native.ilup
+    ilu_mod.native.ilup = lambda *args, **kw: None
+    try:
+        pc_py = ilup(a, fill=fill)
+    finally:
+        ilu_mod.native.ilup = orig
+    for f_nat, f_py in [(pc_nat.L, pc_py.L), (pc_nat.U, pc_py.U)]:
+        np.testing.assert_array_equal(np.asarray(f_nat.data), np.asarray(f_py.data))
+        np.testing.assert_array_equal(np.asarray(f_nat.cols), np.asarray(f_py.cols))
+        np.testing.assert_array_equal(np.asarray(f_nat.diag), np.asarray(f_py.diag))
+        np.testing.assert_array_equal(np.asarray(f_nat.levels), np.asarray(f_py.levels))
+
+
+@pytest.mark.parametrize("fill,droptol", [(5, 1e-3), (10, 1e-4), (3, 1e-2)])
+def test_ilut_native_matches_python_bitwise(fill, droptol):
+    a = _rand_csr(60, 0.1, seed=3)
+    import kryst_tpu.pc.ilu as ilu_mod
+
+    pc_nat = ilut(a, fill=fill, droptol=droptol)
+    orig = ilu_mod.native.ilut
+    ilu_mod.native.ilut = lambda *args, **kw: None
+    try:
+        pc_py = ilut(a, fill=fill, droptol=droptol)
+    finally:
+        ilu_mod.native.ilut = orig
+    for f_nat, f_py in [(pc_nat.L, pc_py.L), (pc_nat.U, pc_py.U)]:
+        np.testing.assert_array_equal(np.asarray(f_nat.data), np.asarray(f_py.data))
+        np.testing.assert_array_equal(np.asarray(f_nat.cols), np.asarray(f_py.cols))
+        np.testing.assert_array_equal(np.asarray(f_nat.diag), np.asarray(f_py.diag))
+
+
+def test_level_schedule_native_matches_python():
+    a = _rand_csr(100, 0.06, seed=4)
+    n = a.shape[0]
+    rows_of = np.repeat(np.arange(n), a.row_nnz())
+    low = a.indices < rows_of
+    lind = a.indices[low]
+    lptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(lptr, rows_of[low] + 1, 1)
+    np.cumsum(lptr, out=lptr)
+
+    nat = native.level_schedule(lptr, lind, n, lower=True)
+    assert nat is not None
+    level, nlev = nat
+    # python oracle
+    exp = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        deps = lind[lptr[i]:lptr[i + 1]]
+        deps = deps[deps < i]
+        if len(deps):
+            exp[i] = exp[deps].max() + 1
+    np.testing.assert_array_equal(level, exp)
+    assert nlev == exp.max() + 1
+
+    # upper schedule via the transpose pattern
+    uind = a.indices[~low & (a.indices != rows_of)]
+    uptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(uptr, rows_of[~low & (a.indices != rows_of)] + 1, 1)
+    np.cumsum(uptr, out=uptr)
+    nat_u = native.level_schedule(uptr, uind, n, lower=False)
+    level_u, nlev_u = nat_u
+    exp_u = np.zeros(n, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        deps = uind[uptr[i]:uptr[i + 1]]
+        deps = deps[deps > i]
+        if len(deps):
+            exp_u[i] = exp_u[deps].max() + 1
+    np.testing.assert_array_equal(level_u, exp_u)
+    assert nlev_u == exp_u.max() + 1
+
+
+@pytest.mark.parametrize("distance", [1, 2])
+def test_coloring_native_matches_python(distance):
+    a = _rand_csr(90, 0.07, seed=5)
+    nat = native.color(a.indptr, a.indices, a.shape[0], distance)
+    assert nat is not None
+    adj = coloring.extract_adjacency(a)
+    if distance == 1:
+        exp = coloring.greedy_distance1_coloring(adj)
+    else:
+        exp = coloring.greedy_distance2_coloring(adj)
+    np.testing.assert_array_equal(nat, exp)
+
+
+def test_unsorted_csr_falls_back():
+    # native wrappers must refuse unsorted column indices
+    indptr = np.array([0, 2, 3], dtype=np.int64)
+    indices = np.array([1, 0, 1], dtype=np.int64)  # row 0 unsorted
+    data = np.array([1.0, 2.0, 3.0])
+    assert native.ilu0(indptr, indices, data, 2) is None
+    assert native.color(indptr, indices, 2, 1) is None
