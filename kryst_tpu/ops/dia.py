@@ -183,14 +183,14 @@ class DIAOperator:
 
         Resident sizes use the shifted-slice XLA block form: one pass
         over the coefficient planes for ALL r columns at VMEM speed (a
-        per-column matvec reads them r times). Beyond VMEM the XLA form
-        sits at the ~79 GB/s cliff, which the r-fold coefficient
-        amortization does NOT recover for small r (17n bytes at 79 GB/s
-        vs r*11n at 775 for the 7-point case) — so planned/const
-        streaming operators run the measured-roofline single-vector
-        path per column (unrolled; r is static). A multi-vector variant
-        of the streamed kernel is the ROADMAP item that would remove
-        the re-reads.
+        per-column matvec reads them r times). Beyond VMEM, planned
+        operators run the multi-vector streamed kernel
+        (ops/streamed.py::dia_spmv_planned_block): X is tiled with halo
+        margins per chunk and each coefficient panel streams ONCE for
+        all r columns — removing the r-fold panel re-read of a
+        per-column loop (ROADMAP 0b). Const-stencil operators have zero
+        coefficient traffic, so the per-column const kernel is already
+        traffic-optimal there.
         """
         if self.cs_deltas is not None and (
             _on_cpu() or self.data.dtype.itemsize >= 8
@@ -204,12 +204,17 @@ class DIAOperator:
                 ),
                 in_axes=1, out_axes=1,
             )(X)
-        if not _on_cpu() and self.data.dtype.itemsize < 8 and (
-            self.data_blk is not None or self.cs_pallas
-        ):
-            return jnp.stack(
-                [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
-            )
+        if not _on_cpu() and self.data.dtype.itemsize < 8:
+            if self.cs_pallas:
+                return jnp.stack(
+                    [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
+                )
+            if self.data_blk is not None:
+                from kryst_tpu.ops.streamed import dia_spmv_planned_block
+
+                return dia_spmv_planned_block(
+                    self.data_blk, self.offsets, X, self.plan
+                )
         return dia_spmv_xla_block(self.data, self.offsets, X)
 
     def rmatvec(self, x: Array) -> Array:

@@ -201,6 +201,124 @@ def _streamed_kernel(offsets, bm, margin, with_dot, smooth_omega, *refs):
             acc_ref[0, 0] = acc_ref[0, 0] + partial
 
 
+def _streamed_block_kernel(offsets, bm, margin, k, x_ref, d_ref, o_ref):
+    """Multi-vector variant: one coefficient-panel stream for ALL k columns.
+
+    The k-column block (e.g. (8M, 8) f32 = 256 MB) cannot sit VMEM-resident
+    like the single-vector kernel's x, so the caller chunks the grid so that
+    k windows fit the budget together; within a grid step the d panel is
+    VMEM-resident and reused across the (statically unrolled) column loop —
+    coefficient traffic is paid ONCE per block instead of once per column
+    (the dominant term for multi-diagonal operators: 7-point at 8M dof
+    re-reads 224 MB per extra column on the per-column path).
+    """
+    import jax.experimental.pallas as pl
+    import jax.lax as lax_
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    i0 = i * bm
+    lane = lax_.broadcasted_iota(jnp.int32, (bm, 128), 1)
+    for c in range(k):
+        W0 = x_ref[c, pl.ds(i0, bm + 2 * margin), :]
+        acc = None
+        for kd, off in enumerate(offsets):
+            q, r = divmod(off, 128)
+            base = margin + q
+            if r:
+                W = W0[base : base + bm + 1]
+                W1 = pltpu.roll(W, jnp.int32(128 - r), axis=1)
+                Y = jnp.where(lane < 128 - r, W1[:bm], W1[1 : bm + 1])
+            else:
+                Y = W0[base : base + bm]
+            term = d_ref[kd * bm : (kd + 1) * bm] * Y
+            acc = term if acc is None else acc + term
+        o_ref[c] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "plan", "interpret", "x_budget_bytes"),
+)
+def dia_spmv_planned_block(
+    data_blk: Array,
+    offsets: Tuple[int, ...],
+    X: Array,
+    plan: DIAPlan,
+    *,
+    interpret: bool = False,
+    x_budget_bytes: Optional[int] = None,
+):
+    """Y = A @ X for an (n, k) column block from the pre-blocked layout.
+
+    The ROADMAP 0b kernel: beyond-VMEM block solvers (block_pcg /
+    block_gmres) previously unrolled the single-vector streamed kernel per
+    column, re-reading the coefficient panels k times. Here each chunk's
+    panel slice streams once for all k columns; X is tiled with halo
+    margins per chunk (k windows share the VMEM budget, so chunks are ~k×
+    smaller — same total X traffic, one panel pass)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = X.shape
+    bm, margin, mpad = plan.block_rows, plan.margin, plan.mpad
+    ndiag = len(offsets)
+    npad = mpad * 128
+    nblk = plan.nblk
+    # (n, k) -> k padded (rows, 128) planes with halo margins
+    Xp = jnp.pad(X, ((0, npad - n), (0, 0))).T.reshape(k, mpad, 128)
+    Xp = jnp.pad(Xp, ((0, 0), (margin, margin), (0, 0)))
+
+    isz = X.dtype.itemsize
+    budget = x_budget_bytes or _X_VMEM_BUDGET_BYTES
+    rows_budget = budget // (128 * isz * k)
+    cblk = max(1, (rows_budget - 2 * margin) // bm)
+    z = np.int32(0)
+    outs = []
+    for b0 in range(0, nblk, cblk):
+        nb = min(cblk, nblk - b0)
+        Xw = jax.lax.dynamic_slice_in_dim(Xp, b0 * bm, nb * bm + 2 * margin, axis=1)
+        Dw = jax.lax.dynamic_slice_in_dim(
+            data_blk, b0 * ndiag * bm, nb * ndiag * bm
+        )
+        kern = functools.partial(
+            _streamed_block_kernel, offsets, bm, margin, k
+        )
+        vmem_bytes = (
+            k * (nb * bm + 2 * margin) * 128 * isz  # resident X windows
+            + 2 * ndiag * bm * 128 * isz  # double-buffered panels
+            + 2 * k * bm * 128 * isz  # double-buffered output blocks
+            + 4 * (bm + 2 * margin) * 128 * isz  # shift temporaries
+            + (8 << 20)
+            + ndiag * bm * 128 * isz // 4
+        )
+        y = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (k, nb * bm + 2 * margin, 128),
+                    lambda i: (z, z, z),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ndiag * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (k, bm, 128), lambda i: (z, i, z), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((k, nb * bm, 128), X.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
+            ),
+            interpret=interpret,
+        )(Xw, Dw)
+        outs.append(y)
+    Y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return Y.reshape(k, npad)[:, :n].T
+
+
 def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
                  smooth=None):
     import jax.experimental.pallas as pl

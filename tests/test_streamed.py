@@ -113,3 +113,43 @@ def test_planned_smooth_epilogue_matches_unfused():
     )
     ref = z + 0.7 * dinv * (r - op.matvec(z))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "n,k,offsets",
+    [
+        (40_000, 4, (-2_000, -128, -1, 0, 1, 128, 2_000)),
+        (5_000, 8, (-300, -7, 0, 7, 300)),
+        (3_000, 1, (-64, 0, 64)),
+    ],
+)
+def test_planned_block_matches_xla(n, k, offsets):
+    from kryst_tpu.ops.dia import dia_spmv_xla_block
+    from kryst_tpu.ops.streamed import dia_spmv_planned_block
+
+    data, offs, _ = _rand_case(n, offsets, seed=11)
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    dblk, plan = plan_dia(data, offs, block_rows=64)
+    Y = dia_spmv_planned_block(jnp.asarray(dblk), offs, X, plan, interpret=True)
+    Y_ref = np.asarray(dia_spmv_xla_block(jnp.asarray(data), offs, X))
+    np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_planned_block_multi_chunk_matches_xla():
+    # tiny budget -> several chunks; columns must stay aligned across the
+    # chunk boundaries (halo windows per chunk)
+    from kryst_tpu.ops.dia import dia_spmv_xla_block
+    from kryst_tpu.ops.streamed import dia_spmv_planned_block
+
+    n, k = 30_000, 3
+    data, offs, _ = _rand_case(n, (-1_000, -128, -1, 0, 1, 128, 1_000), seed=13)
+    rng = np.random.default_rng(14)
+    X = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    dblk, plan = plan_dia(data, offs, block_rows=32)
+    Y = dia_spmv_planned_block(
+        jnp.asarray(dblk), offs, X, plan, interpret=True,
+        x_budget_bytes=256 * 1024,
+    )
+    Y_ref = np.asarray(dia_spmv_xla_block(jnp.asarray(data), offs, X))
+    np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-5, atol=1e-4)
