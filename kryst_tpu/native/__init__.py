@@ -51,6 +51,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.kn_color.restype = ctypes.c_int64
     lib.kn_color.argtypes = [ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, _I64P]
+    lib.kn_extract_blocks.restype = None
+    lib.kn_extract_blocks.argtypes = [
+        ctypes.c_int64, _I64P, _I64P, _F64P,
+        ctypes.c_int64, ctypes.c_int64, _I64P, _F64P,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -184,6 +189,22 @@ def level_schedule(indptr, indices, n: int, lower: bool) -> Optional[Tuple[np.nd
     level = np.empty(n, dtype=np.int64)
     nlev = lib.kn_level_schedule(n, indptr, indices, 1 if lower else 0, level)
     return level, int(nlev)
+
+
+def extract_blocks(indptr, indices, data, n: int, idx_pad: np.ndarray) -> Optional[np.ndarray]:
+    """Batched dense principal submatrices for (nb, bmax) -1-padded row
+    sets. Returns (nb, bmax, bmax) f64 blocks (zero-padded), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    idx_pad = np.ascontiguousarray(idx_pad, dtype=np.int64)
+    nb, bmax = idx_pad.shape
+    out = np.zeros((nb, bmax, bmax), dtype=np.float64)
+    lib.kn_extract_blocks(n, indptr, indices, data, nb, bmax, idx_pad, out)
+    return out
 
 
 def color(indptr, indices, n: int, distance: int) -> Optional[np.ndarray]:

@@ -389,6 +389,39 @@ int64_t kn_level_schedule(int64_t n, const int64_t* indptr,
 }
 
 // ---------------------------------------------------------------------------
+// Batched dense principal submatrices (BlockJacobi/ASM setup,
+// reference block_jacobi.rs:39-61 / asm.rs:59-65): for each block k with
+// (padded, -1-terminated-by-mask) row set idx[k, :], write
+// out[k, p, q] = A[idx[k,p], idx[k,q]] over entries present in A
+// (duplicates summed, matching CSRMatrix.todense's += semantics).
+// out must be ZERO-initialized by the caller; rows/cols not in the block
+// are skipped via a stamp lookup. idx values beyond the block length are -1.
+void kn_extract_blocks(int64_t n, const int64_t* indptr, const int64_t* indices,
+                       const double* data, int64_t nb, int64_t bmax,
+                       const int64_t* idx, double* out) {
+  std::vector<int64_t> pos(n, -1);
+  std::vector<int64_t> stamp(n, -1);
+  for (int64_t k = 0; k < nb; ++k) {
+    const int64_t* rows = idx + k * bmax;
+    for (int64_t p = 0; p < bmax; ++p) {
+      const int64_t g = rows[p];
+      if (g < 0) break;  // -1 padding is trailing
+      pos[g] = p;
+      stamp[g] = k;
+    }
+    double* blk = out + k * bmax * bmax;
+    for (int64_t p = 0; p < bmax; ++p) {
+      const int64_t g = rows[p];
+      if (g < 0) break;
+      for (int64_t t = indptr[g]; t < indptr[g + 1]; ++t) {
+        const int64_t j = indices[t];
+        if (stamp[j] == k) blk[p * bmax + pos[j]] += data[t];
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Greedy graph coloring (pc/coloring.py / reference coloring.rs:39-64).
 // distance=1: neighbors only; distance=2: neighbors + neighbors-of-neighbors.
 // The diagonal is excluded. Deterministic ascending-row greedy — identical

@@ -29,14 +29,21 @@ from kryst_tpu.matrix.csr import CSRMatrix
 
 
 def grow_subdomain(a: CSRMatrix, rows: np.ndarray, overlap: int) -> np.ndarray:
-    """Grow a row set by ``overlap`` layers of adjacency."""
+    """Grow a row set by ``overlap`` layers of adjacency (vectorized: the
+    concatenated nnz spans of the current rows via a repeat/cumsum flat
+    gather — no per-row Python loop)."""
     current = np.asarray(rows, dtype=np.int64)
+    widths = np.diff(a.indptr)
     for _ in range(overlap):
-        nbrs = [current]
-        for i in current:
-            cols, _ = a.row(int(i))
-            nbrs.append(cols)
-        current = np.unique(np.concatenate(nbrs))
+        lens = widths[current]
+        starts = a.indptr[current]
+        total = int(lens.sum())
+        if total:
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+            )
+            nbrs = a.indices[np.repeat(starts, lens) + offs]
+            current = np.unique(np.concatenate([current, nbrs]))
     return current
 
 
@@ -81,16 +88,11 @@ class AdditiveSchwarzPC:
             ]
             subdomains = [s for s in subdomains if len(s)]
         subdomains = [grow_subdomain(a, s, overlap) for s in subdomains]
-        nb = len(subdomains)
-        bmax = max(len(s) for s in subdomains)
-        mats = np.tile(np.eye(bmax, dtype=dtype), (nb, 1, 1))
-        idx = -np.ones((nb, bmax), dtype=np.int32)
+        from kryst_tpu.pc._blocks import batched_dense_blocks
+
+        mats, idx = batched_dense_blocks(a, subdomains, dtype)
         counts = np.zeros(n, dtype=dtype)
-        for k, s in enumerate(subdomains):
-            sub = a.submatrix(s).todense().astype(dtype)
-            m = len(s)
-            mats[k, :m, :m] = sub
-            idx[k, :m] = s
+        for s in subdomains:
             counts[s] += 1
         weight = (
             1.0 / np.maximum(counts, 1) if weighted else np.ones(n, dtype=dtype)

@@ -62,16 +62,9 @@ class BlockJacobiPC:
             bounds = np.linspace(0, n, nblocks + 1).astype(np.int64)
             blocks = [np.arange(bounds[k], bounds[k + 1]) for k in range(nblocks)]
             blocks = [blk for blk in blocks if len(blk)]
-        bmax = max(len(blk) for blk in blocks)
-        nb = len(blocks)
-        mats = np.tile(np.eye(bmax, dtype=dtype), (nb, 1, 1))
-        idx = -np.ones((nb, bmax), dtype=np.int32)
-        for k, blk in enumerate(blocks):
-            blk = np.asarray(blk)
-            sub = a.submatrix(blk).todense().astype(dtype)
-            m = len(blk)
-            mats[k, :m, :m] = sub
-            idx[k, :m] = blk
+        from kryst_tpu.pc._blocks import batched_dense_blocks
+
+        mats, idx = batched_dense_blocks(a, blocks, dtype)
         lu, piv = jax.vmap(jsl.lu_factor)(jnp.asarray(mats))
         return BlockJacobiPC(lu=lu, piv=piv, idx=jnp.asarray(idx), n=n)
 

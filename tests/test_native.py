@@ -187,3 +187,38 @@ def test_unsorted_csr_falls_back():
     data = np.array([1.0, 2.0, 3.0])
     assert native.ilu0(indptr, indices, data, 2) is None
     assert native.color(indptr, indices, 2, 1) is None
+
+
+def test_extract_blocks_matches_submatrix():
+    a = _rand_csr(70, 0.1, seed=6)
+    from kryst_tpu.pc._blocks import batched_dense_blocks
+
+    blocks = [np.array([0, 3, 5, 9]), np.arange(10, 30), np.array([64, 68, 69])]
+    mats, idx = batched_dense_blocks(a, blocks, np.float64)
+    # oracle: the per-block python path
+    bmax = max(len(b) for b in blocks)
+    exp = np.tile(np.eye(bmax), (len(blocks), 1, 1))
+    for k, blk in enumerate(blocks):
+        sub = a.submatrix(blk).todense()
+        exp[k, : len(blk), : len(blk)] = sub
+    np.testing.assert_array_equal(mats, exp)
+    for k, blk in enumerate(blocks):
+        np.testing.assert_array_equal(idx[k, : len(blk)], blk)
+        assert (idx[k, len(blk):] == -1).all()
+
+
+def test_grow_subdomain_vectorized():
+    from kryst_tpu.pc.asm import grow_subdomain
+
+    a = _rand_csr(50, 0.1, seed=7)
+    rows = np.array([5, 20])
+    # oracle: per-row python growth
+    cur = rows
+    for _ in range(2):
+        nbrs = [cur]
+        for i in cur:
+            cols, _ = a.row(int(i))
+            nbrs.append(cols)
+        cur = np.unique(np.concatenate(nbrs))
+    got = grow_subdomain(a, rows, 2)
+    np.testing.assert_array_equal(got, cur)
