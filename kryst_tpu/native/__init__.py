@@ -51,6 +51,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.kn_color.restype = ctypes.c_int64
     lib.kn_color.argtypes = [ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, _I64P]
+    lib.kn_filter_rap.restype = ctypes.c_int64
+    lib.kn_filter_rap.argtypes = [
+        ctypes.c_int64, _I64P, _I64P, _F64P, ctypes.c_double,
+    ]
     lib.kn_extract_blocks.restype = None
     lib.kn_extract_blocks.argtypes = [
         ctypes.c_int64, _I64P, _I64P, _F64P,
@@ -189,6 +193,25 @@ def level_schedule(indptr, indices, n: int, lower: bool) -> Optional[Tuple[np.nd
     level = np.empty(n, dtype=np.int64)
     nlev = lib.kn_level_schedule(n, indptr, indices, 1 if lower else 0, level)
     return level, int(nlev)
+
+
+def filter_rap(indptr, indices, data, n: int, drop_tol: float):
+    """AMG RAP filtering (see kernels.cc). Returns (indptr, indices, data)
+    of the filtered CSR (explicit diagonal in every row), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    prep = _prep(indptr, indices, data)
+    if prep is None:
+        return None
+    indptr, indices, data = prep
+    nnz = lib.kn_filter_rap(n, indptr, indices, data, drop_tol)
+    optr = np.empty(n + 1, dtype=np.int64)
+    oind = np.empty(nnz, dtype=np.int64)
+    odat = np.empty(nnz, dtype=np.float64)
+    if lib.kn_fetch_u(n, optr, oind, odat) != 0:  # pragma: no cover
+        return None
+    return optr, oind, odat
 
 
 def extract_blocks(indptr, indices, data, n: int, idx_pad: np.ndarray) -> Optional[np.ndarray]:

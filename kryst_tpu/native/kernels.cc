@@ -389,6 +389,79 @@ int64_t kn_level_schedule(int64_t n, const int64_t* indptr,
 }
 
 // ---------------------------------------------------------------------------
+// AMG RAP filtering (pc/amg.py::_filter_rap): drop |a_ij| below
+// drop_tol*sqrt(rowmax_i*rowmax_j) (squared form, diagonal always kept),
+// compensate each row's dropped mass by adding sum|dropped| to its
+// diagonal. Mirrors the scipy construction exactly, including the
+// union-with-diags pattern: the output has an explicit diagonal entry in
+// EVERY row (scipy's `filtered + sp.diags(lump)` keeps explicit zeros).
+// Input must be canonical CSR (sorted, deduped). Result is stashed
+// (fetch with kn_fetch_u); returns output nnz.
+int64_t kn_filter_rap(int64_t n, const int64_t* indptr, const int64_t* indices,
+                      const double* data, double drop_tol) {
+  std::vector<double> rowmax(n, 0.0);
+  for (int64_t i = 0; i < n; ++i) {
+    double m = 0.0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const double a = std::fabs(data[p]);
+      if (a > m) m = a;
+    }
+    rowmax[i] = m;
+  }
+  const double tol2 = drop_tol * drop_tol;
+  std::vector<int64_t> optr(n + 1, 0);
+  std::vector<int64_t> oind;
+  std::vector<double> odat;
+  oind.reserve(indptr[n] + n);
+  odat.reserve(indptr[n] + n);
+  for (int64_t i = 0; i < n; ++i) {
+    double lump = 0.0;
+    const int64_t lo = indptr[i], hi = indptr[i + 1];
+    // pass 1 over the row: dropped mass (CSR order, matching bincount)
+    for (int64_t p = lo; p < hi; ++p) {
+      const int64_t j = indices[p];
+      const double a = std::fabs(data[p]);
+      const bool keep = (a * a >= tol2 * rowmax[i] * rowmax[j]) || (j == i);
+      if (!keep) lump += a;
+    }
+    // pass 2: emit kept entries with the diagonal inserted/updated
+    bool diag_done = false;
+    for (int64_t p = lo; p < hi; ++p) {
+      const int64_t j = indices[p];
+      const double a = std::fabs(data[p]);
+      const bool keep = (a * a >= tol2 * rowmax[i] * rowmax[j]) || (j == i);
+      if (!diag_done && j > i) {  // diagonal absent in A's row: insert lump
+        oind.push_back(i);
+        odat.push_back(lump);
+        diag_done = true;
+      }
+      if (j == i) {
+        oind.push_back(i);
+        odat.push_back(data[p] + lump);
+        diag_done = true;
+      } else if (keep) {
+        oind.push_back(j);
+        odat.push_back(data[p]);
+      }
+    }
+    if (!diag_done) {
+      oind.push_back(i);
+      odat.push_back(lump);
+    }
+    optr[i + 1] = (int64_t)oind.size();
+  }
+  const int64_t nnz = optr[n];
+  g_stash.u_indptr = std::move(optr);
+  g_stash.u_indices = std::move(oind);
+  g_stash.u_data = std::move(odat);
+  g_stash.l_indptr.clear();
+  g_stash.l_indices.clear();
+  g_stash.l_data.clear();
+  g_stash.live = true;
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
 // Batched dense principal submatrices (BlockJacobi/ASM setup,
 // reference block_jacobi.rs:39-61 / asm.rs:59-65): for each block k with
 // (padded, -1-terminated-by-mask) row set idx[k, :], write

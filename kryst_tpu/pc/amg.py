@@ -75,6 +75,17 @@ def _filter_rap(A: sp.csr_matrix, drop_tol: float) -> sp.csr_matrix:
     Ac = A.tocsr()
     Ac.sum_duplicates()
     n = Ac.shape[0]
+    from kryst_tpu import native
+
+    nat = native.filter_rap(
+        Ac.indptr, Ac.indices, Ac.data, n, float(drop_tol)
+    )
+    if nat is not None:
+        # single C++ pass: the numpy form below allocates ~10 nnz-sized
+        # temporaries, and on this 1-core host first-touch page faults made
+        # it 39-46 s of the 59 s 65k-expander AMG setup (profiled)
+        optr, oind, odat = nat
+        return sp.csr_matrix((odat, oind, optr), shape=A.shape)
     absd = np.abs(Ac.data)
     nnz_row = np.diff(Ac.indptr)
     rowmax = np.zeros(n)

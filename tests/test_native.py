@@ -222,3 +222,30 @@ def test_grow_subdomain_vectorized():
         cur = np.unique(np.concatenate(nbrs))
     got = grow_subdomain(a, rows, 2)
     np.testing.assert_array_equal(got, cur)
+
+
+def test_filter_rap_matches_python():
+    import kryst_tpu.pc.amg as amg_mod
+
+    A = sp.csr_matrix(np.abs(np.random.default_rng(8).standard_normal((60, 60))))
+    A = A + A.T + sp.eye(60) * 10
+    A = sp.csr_matrix(A)
+    # sparsify so drops actually happen
+    A.data[np.abs(A.data) < 0.8] *= 1e-6
+    A.eliminate_zeros()
+    A.sort_indices()
+    got = amg_mod._filter_rap(A, 0.1)
+    orig = native.filter_rap
+    native.filter_rap = lambda *a, **k: None
+    try:
+        exp = amg_mod._filter_rap(A, 0.1)
+    finally:
+        native.filter_rap = orig
+    assert got.shape == exp.shape
+    d = (got - exp).tocoo()
+    assert len(d.data) == 0 or np.abs(d.data).max() < 1e-14
+    # pattern identical (explicit diagonal everywhere)
+    got.sort_indices(); exp.sort_indices()
+    np.testing.assert_array_equal(got.indptr, exp.indptr)
+    np.testing.assert_array_equal(got.indices, exp.indices)
+    np.testing.assert_array_equal(got.data, exp.data)  # bitwise
