@@ -473,6 +473,44 @@ def main():
             log(f"bicgstab 8M: {dt_b*1e3:.2f} ms/iter (traffic-bound ~{est_b*1e3:.2f} ms)")
             emit("bicgstab_8M_per_iteration", dt_b * 1e3, "ms", est_b / dt_b)
 
+            # multi-vector streamed SpMV (ROADMAP 0b): one coefficient-
+            # panel pass for all k columns. Uses a PLANNED (non-const)
+            # DIA operator — the const-stencil 7-point A8 has zero panel
+            # traffic, so the block kernel's panel amortization only
+            # shows on operators that stream coefficients.
+            try:
+                A8p = csr_to_dia(a8, dtype=np.float32)
+                kblk = 8
+                X0 = jnp.asarray(
+                    np.random.default_rng(0)
+                    .standard_normal((n8, kblk))
+                    .astype(np.float32)
+                )
+
+                def mk_blk(it):
+                    f = jax.jit(
+                        lambda A, X, it=it: jax.lax.fori_loop(
+                            0, it,
+                            lambda t, Xc: A.matvec_block(Xc) * 0.12,
+                            X,
+                        )[0, 0]
+                    )
+                    return lambda: f(A8p, X0)
+
+                dt_blk8 = slope(mk_blk, 8, 24, reps=2)
+                # traffic/call: panels once (7 planes) + k x (x + y)
+                est_blk = ((7 + 2 * kblk) * n8 * 4) / 650e9
+                log(
+                    f"block matvec 8M k={kblk}: {dt_blk8*1e3:.2f} ms/call "
+                    f"(traffic-bound ~{est_blk*1e3:.2f} ms; per-column "
+                    f"path would stream panels {kblk}x)"
+                )
+                emit("block_matvec_8M_k8_per_call", dt_blk8 * 1e3, "ms",
+                     est_blk / dt_blk8)
+                del A8p, X0
+            except Exception as e:
+                log(f"block matvec 8M bench failed: {type(e).__name__}: {e}")
+
             # s-step CA-GMRES is the MEMORY-avoiding GMRES beyond VMEM:
             # BCGS2/CholeskyQR2 touch the basis ~4x per s-BLOCK where
             # CGS2 panels touch the active prefix 4x per ITERATION —
