@@ -29,6 +29,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
@@ -54,6 +55,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.kn_filter_rap.restype = ctypes.c_int64
     lib.kn_filter_rap.argtypes = [
         ctypes.c_int64, _I64P, _I64P, _F64P, ctypes.c_double,
+    ]
+    lib.kn_filter_rap32.restype = ctypes.c_int64
+    lib.kn_filter_rap32.argtypes = [
+        ctypes.c_int64, _I32P, _I32P, _F64P, ctypes.c_double,
     ]
     lib.kn_extract_blocks.restype = None
     lib.kn_extract_blocks.argtypes = [
@@ -201,11 +206,24 @@ def filter_rap(indptr, indices, data, n: int, drop_tol: float):
     lib = get_lib()
     if lib is None:
         return None
-    prep = _prep(indptr, indices, data)
-    if prep is None:
-        return None
-    indptr, indices, data = prep
-    nnz = lib.kn_filter_rap(n, indptr, indices, data, drop_tol)
+    if (
+        np.asarray(indptr).dtype == np.int32
+        and np.asarray(indices).dtype == np.int32
+    ):
+        # scipy CSRs carry int32 indices; skip the int64 copy (1.5 s of a
+        # 9 s AMG setup at 65k)
+        indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+        indices = np.ascontiguousarray(indices, dtype=np.int32)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        if not _csr_sorted(indices, indptr):
+            return None
+        nnz = lib.kn_filter_rap32(n, indptr, indices, data, drop_tol)
+    else:
+        prep = _prep(indptr, indices, data)
+        if prep is None:
+            return None
+        indptr, indices, data = prep
+        nnz = lib.kn_filter_rap(n, indptr, indices, data, drop_tol)
     optr = np.empty(n + 1, dtype=np.int64)
     oind = np.empty(nnz, dtype=np.int64)
     odat = np.empty(nnz, dtype=np.float64)
