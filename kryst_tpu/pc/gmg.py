@@ -320,10 +320,18 @@ class GMGPC:
             smoothed = lvl_idx < smooth_levels
             if smoothed:
                 AP0 = (A @ P0).tocsr()
-                P = (P0 - p_omega * (sp.diags(dinv) @ AP0)).tocsr()
+                # diagonal scalings applied directly on the CSR data
+                # (bitwise-identical to the sp.diags matmuls — each output
+                # entry is one product — without two O(nnz) csr_matmat
+                # passes): rows of AP0 by dinv, columns of A by dinv
+                DinvAP0 = AP0.copy()
+                DinvAP0.data = AP0.data * np.repeat(dinv, np.diff(AP0.indptr))
+                P = (P0 - p_omega * DinvAP0).tocsr()
+                ADinv = A.copy()
+                ADinv.data = A.data * dinv[A.indices]
                 # A P = A P0 - w (A D^-1) (A P0): reuses A@P0 — one big
                 # matmul instead of recomputing A@P from scratch below
-                AP = (AP0 - p_omega * ((A @ sp.diags(dinv)) @ AP0)).tocsr()
+                AP = (AP0 - p_omega * (ADinv @ AP0)).tocsr()
             else:
                 P = P0
                 AP = None
