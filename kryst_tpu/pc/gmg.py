@@ -321,17 +321,33 @@ class GMGPC:
             if smoothed:
                 AP0 = (A @ P0).tocsr()
                 # diagonal scalings applied directly on the CSR data
-                # (bitwise-identical to the sp.diags matmuls — each output
+                # (value-identical to the sp.diags matmuls — each output
                 # entry is one product — without two O(nnz) csr_matmat
-                # passes): rows of AP0 by dinv, columns of A by dinv
-                DinvAP0 = AP0.copy()
-                DinvAP0.data = AP0.data * np.repeat(dinv, np.diff(AP0.indptr))
-                P = (P0 - p_omega * DinvAP0).tocsr()
-                ADinv = A.copy()
-                ADinv.data = A.data * dinv[A.indices]
+                # passes): rows of AP0 by dinv, columns of A by dinv.
+                # indices/indptr are SHARED with the source (scipy allows
+                # aliasing; only .data differs), and the p_omega scale runs
+                # in place — scipy's `scalar * csr` would copy all three
+                # arrays (profiled: copies + _mul_scalar were ~30% of a 1M
+                # setup once the diags matmuls were gone)
+                DinvAP0 = sp.csr_matrix(
+                    (
+                        AP0.data * np.repeat(dinv, np.diff(AP0.indptr)),
+                        AP0.indices,
+                        AP0.indptr,
+                    ),
+                    shape=AP0.shape,
+                )
+                DinvAP0.data *= p_omega
+                P = (P0 - DinvAP0).tocsr()
+                ADinv = sp.csr_matrix(
+                    (A.data * dinv[A.indices], A.indices, A.indptr),
+                    shape=A.shape,
+                )
                 # A P = A P0 - w (A D^-1) (A P0): reuses A@P0 — one big
                 # matmul instead of recomputing A@P from scratch below
-                AP = (AP0 - p_omega * (ADinv @ AP0)).tocsr()
+                T = (ADinv @ AP0).tocsr()
+                T.data *= p_omega
+                AP = (AP0 - T).tocsr()
             else:
                 P = P0
                 AP = None
