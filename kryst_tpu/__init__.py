@@ -50,6 +50,7 @@ from kryst_tpu.pc.spai import SPAIPC, spai_setup
 from kryst_tpu.solvers.bicgstab import bicgstab
 from kryst_tpu.solvers.cg import cg, pcg
 from kryst_tpu.solvers.cgnr import cgne, cgnr
+from kryst_tpu.solvers.lsqr import lsqr
 from kryst_tpu.solvers.cgs import cgs
 from kryst_tpu.solvers.direct import (
     LUFactorization,

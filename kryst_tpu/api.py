@@ -59,6 +59,7 @@ class SolverKind(enum.Enum):
     MINRES = "minres"
     CGNR = "cgnr"
     CGNE = "cgne"
+    LSQR = "lsqr"
     LU = "lu"
     QR = "qr"
     PIPECG = "pipecg"
@@ -484,7 +485,8 @@ def solve(
     _no_pc = {
         SolverKind.CG,
         SolverKind.CGS, SolverKind.QMR, SolverKind.TFQMR, SolverKind.MINRES,
-        SolverKind.CGNR, SolverKind.CGNE, SolverKind.LU, SolverKind.QR,
+        SolverKind.CGNR, SolverKind.CGNE, SolverKind.LSQR,
+        SolverKind.LU, SolverKind.QR,
     }
     wants_pc = pc is not None and not (
         isinstance(pc, (str, PCConfig))
@@ -562,6 +564,10 @@ def solve(
             return cgnr(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
         if kind == SolverKind.CGNE:
             return cgne(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.LSQR:
+            from kryst_tpu.solvers.lsqr import lsqr
+
+            return lsqr(Aop, rhs, x0_, tol=tol_, maxiter=mi_, **options)
         if kind == SolverKind.PIPECG:
             from kryst_tpu.solvers.pipelined import pipecg
 
