@@ -51,6 +51,7 @@ from kryst_tpu.solvers.bicgstab import bicgstab
 from kryst_tpu.solvers.cg import cg, pcg
 from kryst_tpu.solvers.cgnr import cgne, cgnr
 from kryst_tpu.solvers.lsqr import lsqr
+from kryst_tpu.solvers.lobpcg import lobpcg
 from kryst_tpu.solvers.cgs import cgs
 from kryst_tpu.solvers.direct import (
     LUFactorization,
