@@ -115,11 +115,18 @@ def detect_stencil(
             return None
         coeffs[k] = c
     # Pallas-kernel restriction: any axis that actually needs a mask
-    # (nonzero delta on a non-slowest axis) must be >= 128 wide for the
-    # kernel's single-carry coordinate reconstruction
+    # (nonzero delta on a non-slowest axis) must be >= 128 wide, AND any
+    # masked MIDDLE axis must have stride >= 128, so the kernel's
+    # per-row coordinate reconstruction carries at most one wrap per
+    # 128-lane row (see _const_kernel)
+    ndim = len(grid)
+    strides = [1] * ndim
+    for ax in range(ndim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * grid[ax + 1]
     pallas_ok = all(
-        d[ax] == 0 or grid[ax] >= 128
-        for d in deltas for ax in range(1, len(grid))
+        d[ax] == 0 or (grid[ax] >= 128
+                       and (ax == ndim - 1 or strides[ax] >= 128))
+        for d in deltas for ax in range(1, ndim)
     )
     return coeffs, tuple(deltas), pallas_ok
 
@@ -149,51 +156,61 @@ def const_spmv_xla(
     return y.reshape(-1)
 
 
+def _coord_axes(deltas, grid):
+    """(ax, stride, has_rem) for every inner axis some delta masks."""
+    ndim = len(grid)
+    strides = [1] * ndim
+    for ax in range(ndim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * grid[ax + 1]
+    need = [any(d[ax] != 0 for d in deltas) for ax in range(ndim)]
+    return [(ax, strides[ax], strides[ax] > 1)
+            for ax in range(1, ndim) if need[ax]]
+
+
 def _const_kernel(deltas, grid, offsets, bm, margin, with_dot,
                   smoothing, *refs):
     import jax.experimental.pallas as pl
     import jax.lax as lax_
     from jax.experimental.pallas import tpu as pltpu
 
-    # ref layout: x, coeffs(SMEM), row0(SMEM) [, r, dinv] -> out [, dot]
-    x_ref, c_ref, row0_ref = refs[0], refs[1], refs[2]
+    # ref layout: x, coeffs(SMEM), [coord seeds...] [, r, dinv]
+    #             -> out [, dot]
+    x_ref, c_ref = refs[0], refs[1]
+    axes_meta = _coord_axes(deltas, grid)
+    ncoord = sum(2 if has_rem else 1 for _, _, has_rem in axes_meta)
+    coord_refs = refs[2:2 + ncoord]
     if smoothing:
-        r_ref, di_ref = refs[3], refs[4]
-        o_ref, rest = refs[5], refs[6:]
+        r_ref, di_ref = refs[2 + ncoord], refs[3 + ncoord]
+        o_ref, rest = refs[4 + ncoord], refs[5 + ncoord:]
     else:
-        o_ref, rest = refs[3], refs[4:]
+        o_ref, rest = refs[2 + ncoord], refs[3 + ncoord:]
 
     i = pl.program_id(0)
     i0 = i * bm
     lane = lax_.broadcasted_iota(jnp.int32, (bm, 128), 1)
-    trow = lax_.broadcasted_iota(jnp.int32, (bm, 128), 0)
-    # global flat index of each output element (row0 = chunk offset rows)
-    j = (row0_ref[0] + i0 + trow) * 128 + lane
 
-    # reconstruct inner-axis coordinates with one carry per axis:
-    # z = j mod nz, y = (j div nz) mod ny. Within one 128-lane row the
-    # base coordinate advances by `lane`, wrapping AT MOST once because
-    # every masked axis is >= 128 wide (asserted at plan time). Start
-    # from the row-leading flat index (lane 0), whose coordinates are
-    # affine in the row number only after div/mod — which Mosaic lowers
-    # fine for SCALARS but we keep fully vectorized: compute via repeated
-    # conditional subtraction from j itself, one axis at a time.
+    # Reconstruct inner-axis coordinates from PER-ROW seeds computed in
+    # plain XLA outside the kernel (Mosaic's vector integer div lowering
+    # recurses infinitely on real TPU — measured round 3). Within one
+    # 128-lane row every masked axis advances by AT MOST one wrap because
+    # it is >= 128 wide (asserted at plan time):
+    #  - fastest axis (stride 1): c = c0 + lane, one conditional wrap;
+    #  - middle axes (stride s >= 128): the coordinate increments exactly
+    #    when the row-leading remainder rem0 + lane crosses s, then wraps
+    #    at most once.
     ndim = len(grid)
-    need_ax = [any(d[ax] != 0 for d in deltas) for ax in range(ndim)]
     coords = {}
-    if any(need_ax[1:]):
-        rem = j
-        # strides of each axis
-        strides = [1] * ndim
-        for ax in range(ndim - 2, -1, -1):
-            strides[ax] = strides[ax + 1] * grid[ax + 1]
-        # compute coordinates from slowest to fastest via div; Mosaic
-        # supports vector integer div/rem by constants
-        for ax in range(ndim):
-            q = rem // strides[ax]
-            rem = rem - q * strides[ax]
-            if ax >= 1 and need_ax[ax]:
-                coords[ax] = q
+    ci = 0
+    for ax, stride, has_rem in axes_meta:
+        c0 = coord_refs[ci][...]  # (bm, 1) int32
+        ci += 1
+        if has_rem:
+            rem0 = coord_refs[ci][...]
+            ci += 1
+            c = c0 + ((rem0 + lane) >= stride).astype(jnp.int32)
+        else:
+            c = c0 + lane
+        coords[ax] = jnp.where(c < grid[ax], c, c - grid[ax])
 
     W0 = x_ref[pl.ds(i0, bm + 2 * margin), :]
     acc = None
@@ -239,7 +256,7 @@ def _const_kernel(deltas, grid, offsets, bm, margin, with_dot,
 
 
 def _call_const(offsets, deltas, grid, bm, margin, with_dot, interpret,
-                Xw, cvec, row0, nb, smooth=None):
+                Xw, cvec, coord_args, nb, smooth=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -274,10 +291,14 @@ def _call_const(offsets, deltas, grid, bm, margin, with_dot, interpret,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(cvec.shape, lambda i: (z,),
                      memory_space=pltpu.SMEM),  # coeffs (+ omega)
-        pl.BlockSpec((1,), lambda i: (z,),
-                     memory_space=pltpu.SMEM),  # row0
     ]
-    args = [Xw, cvec, row0]
+    args = [Xw, cvec]
+    for ca in coord_args:  # per-row coordinate seeds, (nb*bm, 1) int32
+        in_specs.append(
+            pl.BlockSpec((bm, 1), lambda i: (i, z),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(ca)  # (double-buffered coord blocks fit the slack)
     if smooth is not None:
         Rw, DIw = smooth
         for extra in (Rw, DIw):
@@ -354,10 +375,20 @@ def const_spmv(
     cblk = max(1, (rows_budget - 2 * margin) // bm)
     outs = []
     dots = []
+    axes_meta = _coord_axes(deltas, grid)
     for b0 in range(0, nblk, cblk):
         nb = min(cblk, nblk - b0)
         Xw = jax.lax.dynamic_slice_in_dim(X, b0 * bm, nb * bm + 2 * margin)
-        row0 = jnp.full((1,), b0 * bm, jnp.int32)
+        # per-row coordinate seeds for the kernel's mask reconstruction
+        # (plain-XLA integer div/mod — Mosaic's vector div lowering
+        # recurses on real TPU, so none of this runs inside the kernel)
+        j0 = (jnp.arange(nb * bm, dtype=jnp.int32) + b0 * bm) * 128
+        coord_args = []
+        for ax, stride, has_rem in axes_meta:
+            q = j0 // stride
+            coord_args.append((q % grid[ax]).astype(jnp.int32)[:, None])
+            if has_rem:
+                coord_args.append((j0 - q * stride).astype(jnp.int32)[:, None])
         smooth = None
         if smoothing:
             Rw = jax.lax.dynamic_slice_in_dim(R, b0 * bm, nb * bm)
@@ -365,7 +396,7 @@ def const_spmv(
             smooth = (Rw, DIw)
         res = _call_const(
             offsets, deltas, grid, bm, margin, with_dot, interpret,
-            Xw, cvec, row0, nb, smooth,
+            Xw, cvec, coord_args, nb, smooth,
         )
         if with_dot:
             outs.append(res[0])

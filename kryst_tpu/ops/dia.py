@@ -159,13 +159,6 @@ class DIAOperator:
             return dia_spmv_xla(self.data, self.offsets, x)
         if self._resident() and len(self.offsets) <= 8:
             return dia_spmv_xla(self.data, self.offsets, x)
-        if self.cs_pallas:
-            # constant-stencil kernel: zero coefficient traffic (3x at 8M)
-            from kryst_tpu.ops.conststencil import const_spmv
-
-            return const_spmv(
-                self.cs_coeffs, self.offsets, self.cs_deltas, self.cs_grid, x
-            )
         from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
         if self.data_blk is not None:
@@ -173,7 +166,21 @@ class DIAOperator:
             # offset count is large: the rolled whole-vector kernel pays
             # HBM boundaries per offset-group launch (L2 of the 8M GMG
             # hierarchy, 179 diagonals: 417 us rolled vs ~130 us streamed)
+            # — and it BEATS the const-stencil Pallas kernel at 8M dof
+            # (344.5 vs 377.2 us measured round 3: the const kernel's
+            # per-element mask/coordinate VPU work outweighs the saved
+            # coefficient stream), so planned layout is preferred even
+            # for constant stencils.
             return dia_spmv_planned(self.data_blk, self.offsets, x, self.plan)
+        if self.cs_pallas:
+            # constant-stencil kernel: zero coefficient traffic; used only
+            # when no planned layout was built (saves the 2x coefficient
+            # memory; ~10% slower than planned streaming, measured)
+            from kryst_tpu.ops.conststencil import const_spmv
+
+            return const_spmv(
+                self.cs_coeffs, self.offsets, self.cs_deltas, self.cs_grid, x
+            )
         if self._resident():
             return dia_spmv_rolled(self.data, self.offsets, x)
         return dia_spmv_streamed(self.data, self.offsets, x)
@@ -205,15 +212,15 @@ class DIAOperator:
                 in_axes=1, out_axes=1,
             )(X)
         if not _on_cpu() and self.data.dtype.itemsize < 8:
-            if self.cs_pallas:
-                return jnp.stack(
-                    [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
-                )
             if self.data_blk is not None:
                 from kryst_tpu.ops.streamed import dia_spmv_planned_block
 
                 return dia_spmv_planned_block(
                     self.data_blk, self.offsets, X, self.plan
+                )
+            if self.cs_pallas:
+                return jnp.stack(
+                    [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
                 )
         return dia_spmv_xla_block(self.data, self.offsets, X)
 
@@ -253,18 +260,18 @@ class DIAOperator:
             and not self._resident()
             and self.data.dtype.itemsize < 8  # no f64 pallas on TPU
         ):
+            from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
+
+            if self.data_blk is not None:
+                return dia_spmv_planned(
+                    self.data_blk, self.offsets, p, self.plan, with_dot=True
+                )
             if self.cs_pallas:
                 from kryst_tpu.ops.conststencil import const_spmv
 
                 return const_spmv(
                     self.cs_coeffs, self.offsets, self.cs_deltas,
                     self.cs_grid, p, with_dot=True,
-                )
-            from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
-
-            if self.data_blk is not None:
-                return dia_spmv_planned(
-                    self.data_blk, self.offsets, p, self.plan, with_dot=True
                 )
             return dia_spmv_streamed(self.data, self.offsets, p, with_dot=True)
         y = self.matvec(p)
@@ -281,6 +288,13 @@ class DIAOperator:
             and self.data.dtype.itemsize < 8
             and (not self._resident() or len(self.offsets) > 8)
         ):
+            if self.data_blk is not None:
+                from kryst_tpu.ops.streamed import dia_spmv_planned
+
+                return dia_spmv_planned(
+                    self.data_blk, self.offsets, z, self.plan,
+                    smooth_r=r, smooth_dinv=dinv, smooth_omega=float(omega),
+                )
             if self.cs_pallas:
                 from kryst_tpu.ops.conststencil import const_spmv
 
@@ -288,13 +302,6 @@ class DIAOperator:
                     self.cs_coeffs, self.offsets, self.cs_deltas,
                     self.cs_grid, z, smooth_z=z, smooth_r=r,
                     smooth_dinv=dinv, smooth_omega=float(omega),
-                )
-            if self.data_blk is not None:
-                from kryst_tpu.ops.streamed import dia_spmv_planned
-
-                return dia_spmv_planned(
-                    self.data_blk, self.offsets, z, self.plan,
-                    smooth_r=r, smooth_dinv=dinv, smooth_omega=float(omega),
                 )
         return z + omega * dinv * (r - self.matvec(z))
 
@@ -563,12 +570,14 @@ def _make_dia(
             cs_deltas = det[1]
             cs_grid = tuple(int(g) for g in grid)
             cs_pallas = bool(det[2])
-    if streaming and not cs_pallas:
+    if streaming:
         # (f64 never uses the streamed kernel -- see matvec -- so don't
-        # spend 2x memory on a layout it can't use; the const-stencil
-        # Pallas path reads no coefficient panels so it skips the layout
-        # too; narrow-grid const operators keep the planned layout for
-        # the f32 streaming path)
+        # spend 2x memory on a layout it can't use). Constant-stencil
+        # operators ALSO get the planned layout: the planned streaming
+        # kernel measured FASTER than the const-stencil Pallas kernel at
+        # 8M dof (344.5 vs 377.2 us, round 3 — the const kernel is
+        # VPU-bound on mask/coordinate work, not bandwidth-bound), so
+        # the 2x coefficient memory buys ~10% and a 1.5x block matvec.
         from kryst_tpu.ops.streamed import plan_dia
 
         dblk, plan = plan_dia(data, offsets)

@@ -141,7 +141,10 @@ def test_dispatch_fields_via_grid():
     A27 = _pent3(gx, gy, gz)  # 13-point, exactly constant-coefficient
     op = scipy_to_dia(A27, dtype=np.float32, grid=(gx, gy, gz))
     assert op.cs_deltas is not None and op.cs_grid == (gx, gy, gz)
-    assert op.data_blk is None  # no coefficient panels needed
+    # round-3 policy: const operators ALSO carry the planned layout —
+    # planned streaming measured FASTER than the const Pallas kernel
+    # (344.5 vs 377.2 us at 8M), and matvec prefers it (ops/dia.py)
+    assert op.data_blk is not None
     # and without grid= the same operator takes the planned streaming path
     op_plain = scipy_to_dia(A27, dtype=np.float32)
     assert op_plain.cs_deltas is None and op_plain.data_blk is not None
