@@ -37,6 +37,7 @@ from kryst_tpu.pc.gmg import GMGPC
 from kryst_tpu.pc.base import IdentityPC
 from kryst_tpu.pc.block_jacobi import BlockJacobiPC
 from kryst_tpu.pc.chebyshev import ChebyshevPC
+from kryst_tpu.pc.deflation import DeflationPC
 from kryst_tpu.pc.ilu import ILUPC, ilu0, ilup, ilut
 from kryst_tpu.pc.jacobi import JacobiPC
 from kryst_tpu.pc.sor import (
@@ -50,6 +51,7 @@ from kryst_tpu.pc.spai import SPAIPC, spai_setup
 from kryst_tpu.solvers.bicgstab import bicgstab
 from kryst_tpu.solvers.cg import cg, pcg
 from kryst_tpu.solvers.cgnr import cgne, cgnr
+from kryst_tpu.solvers.idr import idr
 from kryst_tpu.solvers.lsqr import lsqr
 from kryst_tpu.solvers.lobpcg import lobpcg
 from kryst_tpu.solvers.cgs import cgs

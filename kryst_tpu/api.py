@@ -66,6 +66,7 @@ class SolverKind(enum.Enum):
     CA_GMRES = "ca_gmres"
     BLOCK_PCG = "block_pcg"
     BLOCK_GMRES = "block_gmres"
+    IDR = "idr"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -572,6 +573,10 @@ def solve(
             from kryst_tpu.solvers.pipelined import pipecg
 
             return pipecg(Aop, rhs, x0_, M=Mx, tol=tol_, maxiter=mi_, **options)
+        if kind == SolverKind.IDR:
+            from kryst_tpu.solvers.idr import idr
+
+            return idr(Aop, rhs, x0_, M=Mx, tol=tol_, maxiter=mi_, **options)
         if kind == SolverKind.CA_GMRES:
             from kryst_tpu.solvers.ca_gmres import ca_gmres
 

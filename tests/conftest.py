@@ -40,6 +40,7 @@ _SMOKE = {
     "test_fused.py::test_dia_spmv_dot_semantics",
     "test_gmg.py::test_gmg_pcg_2d",
     "test_gmres.py::test_gmres_small_nonsymmetric",
+    "test_idr.py::test_idr_nonsymmetric",
     "test_gmres.py::test_fgmres_flexible_pc",
     "test_ilu_dia.py::test_ilu0_dia_is_jittable_pytree",
     "test_options.py::test_parse_pc_options",
