@@ -195,9 +195,13 @@ class DIAOperator:
         (ops/streamed.py::dia_spmv_planned_block): X is tiled with halo
         margins per chunk and each coefficient panel streams ONCE for
         all r columns — removing the r-fold panel re-read of a
-        per-column loop (ROADMAP 0b). Const-stencil operators have zero
-        coefficient traffic, so the per-column const kernel is already
-        traffic-optimal there.
+        per-column loop (ROADMAP 0b; measured 1.50x over per-column at
+        8M k=8 through this (n, r) entry — the remaining gap to the
+        traffic bound is the two strided layout transposes this entry
+        pays, which ``matvec_cols`` avoids). Const-stencil operators
+        also prefer the planned block kernel (round-3 measurement: the
+        const Pallas kernel is VPU-bound, not traffic-bound); the
+        per-column const loop is only the no-plan fallback.
         """
         if self.cs_deltas is not None and (
             _on_cpu() or self.data.dtype.itemsize >= 8
@@ -223,6 +227,39 @@ class DIAOperator:
                     [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
                 )
         return dia_spmv_xla_block(self.data, self.offsets, X)
+
+    def matvec_cols(self, Xk: Array) -> Array:
+        """A @ X with X supplied as (k, n) ROWS-of-columns, returning (k, n).
+
+        The block solvers' internal layout: each RHS/basis vector is a
+        CONTIGUOUS row, so the beyond-VMEM streaming kernel ingests it
+        with a pure reshape — the (n, k) ``matvec_block`` entry point
+        pays two strided layout transposes (measured ~4.5x the kernel
+        cost at 8M k=8, round 3) that this path never materializes.
+        """
+        if self.cs_deltas is not None and (
+            _on_cpu() or self.data.dtype.itemsize >= 8
+        ):
+            from kryst_tpu.ops.conststencil import const_spmv_xla
+            import jax as _jax
+
+            return _jax.vmap(
+                lambda col: const_spmv_xla(
+                    self.cs_coeffs, self.cs_deltas, self.cs_grid, col
+                )
+            )(Xk)
+        if (
+            not _on_cpu()
+            and self.data.dtype.itemsize < 8
+            and self.data_blk is not None
+            and not self._resident()
+        ):
+            from kryst_tpu.ops.streamed import dia_spmv_planned_cols
+
+            return dia_spmv_planned_cols(
+                self.data_blk, self.offsets, Xk, self.plan
+            )
+        return dia_spmv_xla_cols(self.data, self.offsets, Xk)
 
     def rmatvec(self, x: Array) -> Array:
         if self.symmetric:
@@ -387,6 +424,25 @@ def dia_spmv_xla_block(data: Array, offsets: Tuple[int, ...], X: Array) -> Array
         else:
             seg = data[k, -off:][:, None] * X[: n + off]
             acc = acc + jnp.concatenate([zrow(-off), seg])
+    return acc
+
+
+def dia_spmv_xla_cols(data: Array, offsets: Tuple[int, ...], Xk: Array) -> Array:
+    """A @ X for X as (k, n) rows-of-columns — shifted slices on the LAST
+    axis (contiguous per RHS), coefficient plane read once for all rows.
+    The resident-size twin of the streamed cols kernel."""
+    n = Xk.shape[1]
+    acc = jnp.zeros_like(Xk)
+    zcol = lambda m: jnp.zeros((Xk.shape[0], m), Xk.dtype)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            acc = acc + data[k][None, :] * Xk
+        elif off > 0:
+            seg = data[k, : n - off][None, :] * Xk[:, off:]
+            acc = acc + jnp.concatenate([seg, zcol(off)], axis=1)
+        else:
+            seg = data[k, -off:][None, :] * Xk[:, : n + off]
+            acc = acc + jnp.concatenate([zcol(-off), seg], axis=1)
     return acc
 
 
@@ -580,7 +636,19 @@ def _make_dia(
         # the 2x coefficient memory buys ~10% and a 1.5x block matvec.
         from kryst_tpu.ops.streamed import plan_dia
 
-        dblk, plan = plan_dia(data, offsets)
+        # Free 1.75x: when every coefficient is EXACTLY representable in
+        # bf16 (dyadic rationals with <= 8 mantissa bits — the Poisson
+        # stencils, most Galerkin RAP levels of them), store the streamed
+        # panels in bf16. The kernel's bf16*f32 multiply promotes the
+        # panel value back exactly, so matvec results are BITWISE equal
+        # to f32 panels while the dominant HBM stream halves (902 vs
+        # 846 GB/s measured at 8M dof, 197 vs 344 us/matvec).
+        blk_dtype = None
+        if data.dtype == np.float32:
+            rt = data.astype(jnp.bfloat16).astype(np.float32)
+            if np.array_equal(rt, data):
+                blk_dtype = jnp.bfloat16
+        dblk, plan = plan_dia(data, offsets, blk_dtype=blk_dtype)
         return DIAOperator(
             op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric,
             cs_coeffs, cs_deltas, cs_grid, cs_pallas,

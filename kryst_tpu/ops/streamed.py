@@ -256,18 +256,54 @@ def dia_spmv_planned_block(
     column, re-reading the coefficient panels k times. Here each chunk's
     panel slice streams once for all k columns; X is tiled with halo
     margins per chunk (k windows share the VMEM budget, so chunks are ~k×
-    smaller — same total X traffic, one panel pass)."""
+    smaller — same total X traffic, one panel pass).
+
+    NB: the (n, k) entry transposes to the kernel's column-plane layout
+    on the way in AND out — two strided 256 MB passes at 8M k=8 that
+    measured ~4.5x the kernel's own cost (round 3: 6.76 ms/call vs the
+    1.13 ms traffic bound). Hot paths should carry (k, n) blocks and call
+    :func:`dia_spmv_planned_cols` directly (zero layout moves)."""
+    Y = dia_spmv_planned_cols(
+        data_blk, offsets, X.T, plan,
+        interpret=interpret, x_budget_bytes=x_budget_bytes,
+    )
+    return Y.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "plan", "interpret", "x_budget_bytes"),
+)
+def dia_spmv_planned_cols(
+    data_blk: Array,
+    offsets: Tuple[int, ...],
+    Xk: Array,
+    plan: DIAPlan,
+    *,
+    interpret: bool = False,
+    x_budget_bytes: Optional[int] = None,
+):
+    """Y = A @ X for X supplied as (k, n) ROWS-of-columns (each row one
+    RHS vector), returning (k, n).
+
+    The transpose-free core of :func:`dia_spmv_planned_block`: a (k, n)
+    block pads/reshapes CONTIGUOUSLY into the kernel's (k, rows, 128)
+    column planes, so the only HBM traffic is the kernel's own streams
+    (panels once + k·(x + y)). The block solvers carry their multivector
+    state in this layout for exactly this reason."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, k = X.shape
+    k, n = Xk.shape
     bm, margin, mpad = plan.block_rows, plan.margin, plan.mpad
     ndiag = len(offsets)
     npad = mpad * 128
     nblk = plan.nblk
-    # (n, k) -> k padded (rows, 128) planes with halo margins
-    Xp = jnp.pad(X, ((0, npad - n), (0, 0))).T.reshape(k, mpad, 128)
+    # (k, n) -> k padded (rows, 128) planes with halo margins: pure
+    # reshape + zero-pad, no transpose
+    Xp = jnp.pad(Xk, ((0, 0), (0, npad - n))).reshape(k, mpad, 128)
     Xp = jnp.pad(Xp, ((0, 0), (margin, margin), (0, 0)))
+    X = Xk  # for dtype/budget bookkeeping below
 
     isz = X.dtype.itemsize
     budget = x_budget_bytes or _X_VMEM_BUDGET_BYTES
@@ -316,7 +352,7 @@ def dia_spmv_planned_block(
         )(Xw, Dw)
         outs.append(y)
     Y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    return Y.reshape(k, npad)[:, :n].T
+    return Y.reshape(k, npad)[:, :n]
 
 
 def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,

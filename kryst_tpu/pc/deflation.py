@@ -53,11 +53,15 @@ class DeflationPC:
     L: Array
     inner: object = None
     axis_name: Optional[str] = None
+    AtW: Optional[Array] = None  # cached A^T W for nonsymmetric A
 
     def apply(self, r: Array) -> Array:
         z1 = r if self.inner is None else self.inner.apply(r)
-        # both k-vectors in ONE reduction: [W | AW]^T [r | z1] pairings
-        proj = jnp.concatenate([self.W.T @ r, self.AW.T @ z1])
+        # both k-vectors in ONE reduction: [W | AtW]^T [r | z1] pairings.
+        # The correction needs W^T A z1 = (A^T W)^T z1; for symmetric A
+        # that is (AW)^T z1, for nonsymmetric A setup() caches A^T W.
+        AtW = self.AW if self.AtW is None else self.AtW
+        proj = jnp.concatenate([self.W.T @ r, AtW.T @ z1])
         if self.axis_name is not None:
             proj = lax.psum(proj, self.axis_name)
         k = self.W.shape[1]
@@ -79,12 +83,21 @@ class DeflationPC:
         return DeflationPC(
             W=P(axis, None), AW=P(axis, None), L=P(), inner=inner_spec,
             axis_name=self.axis_name,
+            AtW=None if self.AtW is None else P(axis, None),
         )
 
     @staticmethod
     def setup(A, W, inner=None, axis_name: Optional[str] = None,
               shift: float = 0.0) -> "DeflationPC":
         """Build from an operator and an (n, k) basis.
+
+        A-DEF2's analysis assumes SPD A; that is the supported setting.
+        For a NONSYMMETRIC operator exposing ``rmatvec``, ``A^T W`` is
+        cached here so apply() still computes the exact Galerkin
+        correction term ``W^T A z1``; without ``rmatvec`` the symmetric
+        substitution ``(AW)^T z1`` is used — then the result is merely a
+        fixed linear preconditioner (solutions stay correct, but the
+        two-level deflation property is lost).
 
         ``shift`` adds ``shift * I`` to E before factoring — a ridge for
         a nearly dependent basis (0 = exact Galerkin).
@@ -96,17 +109,26 @@ class DeflationPC:
         AW = A.matvec_block(W) if hasattr(A, "matvec_block") else (
             jnp.stack([A.matvec(W[:, j]) for j in range(W.shape[1])], axis=1)
         )
+        AtW = None
+        if not bool(getattr(A, "symmetric", False)):
+            try:
+                AtW = jnp.stack(
+                    [A.rmatvec(W[:, j]) for j in range(W.shape[1])], axis=1
+                )
+            except (NotImplementedError, AttributeError):
+                AtW = None  # documented fallback: symmetric substitution
         E = W.T @ AW
         if axis_name is not None:
             E = lax.psum(E, axis_name)
         if shift:
             E = E + shift * jnp.eye(E.shape[0], dtype=E.dtype)
         L = jnp.linalg.cholesky(E)
-        return DeflationPC(W=W, AW=AW, L=L, inner=inner, axis_name=axis_name)
+        return DeflationPC(W=W, AW=AW, L=L, inner=inner,
+                           axis_name=axis_name, AtW=AtW)
 
 
 register_dataclass(
     DeflationPC,
-    data_fields=["W", "AW", "L", "inner"],
+    data_fields=["W", "AW", "L", "inner", "AtW"],
     meta_fields=["axis_name"],
 )

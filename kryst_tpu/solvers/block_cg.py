@@ -54,6 +54,19 @@ def matvec_block(A, X: Array) -> Array:
     return jax.vmap(A.matvec, in_axes=1, out_axes=1)(X)
 
 
+def matvec_cols(A, Xk: Array) -> Array:
+    """A @ X for (k, n) rows-of-columns blocks — the solvers' internal
+    layout (each RHS contiguous, zero layout transposes on the streaming
+    path; see DIAOperator.matvec_cols)."""
+    f = getattr(A, "matvec_cols", None)
+    if f is not None:
+        return f(Xk)
+    f = getattr(A, "matvec_block", None)
+    if f is not None:
+        return f(Xk.T).T
+    return jax.vmap(A.matvec)(Xk)
+
+
 def _solve_small_spd(G: Array, B: Array, eps: float):
     """Solve G Y = B for a (k, k) SPD-up-to-rank-loss Gram matrix.
 
@@ -108,28 +121,33 @@ def block_pcg(
         raise ValueError(f"B must be (n, k), got {B.shape}")
     A = as_operator(A, dtype=B.dtype)
     n, k = B.shape
-    X = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, B.dtype)
-    apply_M = (lambda V: V) if M is None else (
-        lambda V: jax.vmap(M.apply, in_axes=1, out_axes=1)(V)
-    )
+    # internal layout is (k, n) rows-of-columns: the streaming block
+    # matvec ingests it transpose-free (the (n, k) layout paid two
+    # strided 256 MB layout moves per matvec at 8M k=8, round 3), and
+    # every Gram stays one dot_general. Entry/exit transposes only.
+    Bk = B.T
+    Xk = jnp.zeros_like(Bk) if X0 is None else jnp.asarray(X0, B.dtype).T
+    apply_M = (lambda V: V) if M is None else (lambda V: jax.vmap(M.apply)(V))
     eps = float(jnp.finfo(B.dtype).eps)
 
     def colnorms(V):
-        s = jnp.sum(V * V, axis=0)
+        s = jnp.sum(V * V, axis=1)
         if axis_name is not None:
             s = lax.psum(s, axis_name)
         return jnp.sqrt(s)
 
     def gram(U, V):
-        G = _mm(U.T, V)
+        # U V^T without materializing a transpose: contract the long axis
+        G = lax.dot_general(
+            U, V, (((1,), (1,)), ((), ())), precision=lax.Precision.HIGHEST
+        )
         if axis_name is not None:
             G = lax.psum(G, axis_name)
         return G
 
-    R = B - matvec_block(A, X)
+    R = Bk - matvec_cols(A, Xk)
     Z = apply_M(R)
     res0 = colnorms(R)
-    bnorm = colnorms(B)
     thresh = jnp.maximum(tol * jnp.where(res0 > 0, res0, 1.0), atol)
     S0 = gram(R, Z)
 
@@ -137,20 +155,21 @@ def block_pcg(
         return (~c.done) & (c.it < maxiter)
 
     def body(c: _Carry) -> _Carry:
-        Q = matvec_block(A, c.P)
+        Q = matvec_cols(A, c.P)
         T = gram(c.P, Q)
         alpha = _solve_small_spd(T, c.S, eps)
-        X = c.X + _mm(c.P, alpha)
-        R = c.R - _mm(Q, alpha)
+        # (P alpha)^T = alpha^T P_k: the (k, k) transpose is free
+        X = c.X + _mm(alpha.T, c.P)
+        R = c.R - _mm(alpha.T, Q)
         Z = apply_M(R)
         S_new = gram(R, Z)
         beta = _solve_small_spd(c.S, S_new, eps)
-        P = Z + _mm(c.P, beta)
+        P = Z + _mm(beta.T, c.P)
         res = colnorms(R)
         done = jnp.all(res <= thresh)
         return _Carry(X, R, P, S_new, res, c.it + 1, done)
 
-    init = _Carry(X, R, Z, S0, res0, jnp.int32(0),
+    init = _Carry(Xk, R, Z, S0, res0, jnp.int32(0),
                   jnp.all(res0 <= thresh))
     final = lax.while_loop(cond, body, init)
     reached = final.res <= thresh
@@ -163,4 +182,4 @@ def block_pcg(
         maxiter,
         None,
     )
-    return final.X, stats
+    return final.X.T, stats

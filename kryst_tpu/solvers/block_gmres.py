@@ -33,7 +33,7 @@ from jax import Array, lax
 
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
-from kryst_tpu.solvers.block_cg import matvec_block
+from kryst_tpu.solvers.block_cg import matvec_cols
 from kryst_tpu.solvers.ca_gmres import _cholqr2, _mm
 
 
@@ -85,7 +85,7 @@ def block_gmres(
 
     def op_rows(V):  # A (M^-1) applied to each ROW of V (k, n)
         W = apply_M(V) if side == "right" else V
-        return matvec_block(A, W.T).T
+        return matvec_cols(A, W)
 
     def colnorms(V):  # norms of the k rows
         s = jnp.sum(V * V, axis=1)
@@ -96,13 +96,13 @@ def block_gmres(
     # zeros_like keeps the shard_map varying-axis type of B (a fresh
     # constant would be unvarying and break the while_loop carry)
     X = jnp.zeros_like(Bt) if X0 is None else jnp.asarray(X0, dtype).T
-    R0 = Bt - matvec_block(A, X.T).T
+    R0 = Bt - matvec_cols(A, X)
     res0 = colnorms(R0)
     thresh = jnp.maximum(tol * jnp.where(res0 > 0, res0, 1.0), atol)
     mp1k = (m + 1) * k
 
     def body(c: _Carry) -> _Carry:
-        R = Bt - matvec_block(A, c.X.T).T  # (k, n)
+        R = Bt - matvec_cols(A, c.X)  # (k, n)
         Q0, L0 = _cholqr2(R, axis_name)  # R = L0 @ Q0
         V = jnp.zeros((mp1k, n), dtype)
         V = lax.dynamic_update_slice(V, Q0, (0, 0))
@@ -164,7 +164,7 @@ def block_gmres(
             update = apply_M(update)
         X_new = c.X + update
 
-        R_new = Bt - matvec_block(A, X_new.T).T
+        R_new = Bt - matvec_cols(A, X_new)
         res = colnorms(R_new)
         it = c.it + m
         reached = jnp.all(res <= thresh)

@@ -188,11 +188,16 @@ def idr(
             U = U.at[:, k].set(u)
             Mm = Mm.at[k:, k].set(mcol)
 
-            frozen = done | broke_k
+            # maxiter is a matvec budget: a cycle entered near the limit
+            # must NOT run its remaining substeps (the reported iteration
+            # count would overshoot by up to s and push_history would
+            # index past its maxiter+1 buffer — advisor round 3)
+            over = it >= maxiter
+            frozen = done | broke_k | over
             x = jnp.where(frozen, x, x_new)
             r = jnp.where(frozen, r, r_new)
             res = jnp.where(frozen, res, res_new)
-            it = jnp.where(done, it, it + 1)
+            it = jnp.where(done | over, it, it + 1)
             brk = jnp.where(
                 broke_k & ~done, jnp.int32(Breakdown.SCALAR_BREAKDOWN), brk
             )
@@ -216,12 +221,13 @@ def idr(
         r_new = r - om_new * t
         res_new = jnp.sqrt(dot(r_new, r_new, axis_name))
 
-        frozen = done | om_break
+        over = it >= maxiter
+        frozen = done | om_break | over
         x = jnp.where(frozen, x, x_new)
         r = jnp.where(frozen, r, r_new)
         res = jnp.where(frozen, res, res_new)
         om = jnp.where(frozen, om, om_new)
-        it = jnp.where(done, it, it + 1)
+        it = jnp.where(done | over, it, it + 1)
         brk = jnp.where(
             om_break & ~done, jnp.int32(Breakdown.SCALAR_BREAKDOWN), brk
         )
