@@ -411,10 +411,20 @@ def solve(
     restart: int = 30,
     refine: Any = "auto",
     grid=None,
+    monitor=None,
     **options,
 ):
     """One-call functional entry point (the ``solve_context`` analogue,
     ksp_context.rs:88-148).
+
+    ``monitor``: optional ``monitor(iter, res_norm)`` callable (the
+    reference's FnMut hook, cg.rs:84-88). Implemented TPU-natively: the
+    solve records per-iteration residuals in a device-side buffer and
+    the callback is REPLAYED host-side after the solve — identical
+    (iter, res) sequence on every backend, including the remote-TPU one
+    where in-jit host callbacks are unsupported. 1-D rhs, iterative
+    solvers only. (For a live in-jit monitor on backends that support
+    host callbacks, pass ``monitor=`` to cg/pcg/gmres directly.)
 
     ``A`` may be a device operator/array, a :class:`CSRMatrix`, or any
     ``scipy.sparse`` matrix (converted to the host CSR assembly format);
@@ -500,6 +510,16 @@ def solve(
         )
     mi = maxiter if maxiter is not None else max(b.shape[0], 100)
 
+    if monitor is not None:
+        if kind in (SolverKind.LU, SolverKind.QR):
+            raise ValueError("monitor= is meaningless for direct solvers")
+        if kind in (SolverKind.BLOCK_PCG, SolverKind.BLOCK_GMRES) or b.ndim == 2:
+            raise ValueError(
+                "monitor= supports single-RHS iterative solves; for "
+                "batched/block solves read stats.residual_history directly"
+            )
+        options.setdefault("record_history", True)
+
     # Eisenstat-trick SSOR restructures the PCG iteration itself
     # (pc/sor.py::eisenstat_cg), so it is dispatched here, not built as a PC
     if (
@@ -520,7 +540,12 @@ def solve(
             omega=dict(pc.params).get("omega", 1.0),
             dtype=dtype, tol=tol, maxiter=mi, **options,
         )
-        return _batch_rhs(_eis, b, x0)
+        xe, ste = _batch_rhs(_eis, b, x0)
+        if monitor is not None:
+            from kryst_tpu.solvers._common import replay_monitor
+
+            replay_monitor(monitor, ste)
+        return xe, ste
 
     M = None
     if kind not in _no_pc:
@@ -616,6 +641,15 @@ def solve(
             lambda rhs, x0_: _dispatch(A, rhs, x0_, tol, mi), b, x0
         )
     x, stats = _dispatch(A, b, x0, tol, mi)
+    if monitor is not None:
+        # TPU-functional monitor: replay the device-recorded history into
+        # the user callback host-side (works on every backend — the axon
+        # TPU relay raises UNIMPLEMENTED on in-jit host callbacks). The
+        # replay covers the plain solve; a subsequent auto-refinement
+        # pass reports through RefineStats, not this hook.
+        from kryst_tpu.solvers._common import replay_monitor
+
+        replay_monitor(monitor, stats)
     x, stats = _floor_policy(
         x, stats, _dispatch, A, b, x0, a_host, kind, tol, mi, refine, options,
         M=M, grid=grid,

@@ -120,7 +120,11 @@ def plan_dia(
 
     data = np.asarray(data)
     if blk_dtype is not None:
-        data = np.asarray(_jnp.asarray(data).astype(blk_dtype))
+        # Convert ON THE HOST (numpy understands ml_dtypes such as
+        # jnp.bfloat16): routing through jnp.asarray would allocate the
+        # full panel array on the device — a ~336 MB relay round-trip
+        # per 8M-dof level on this backend's remote TPU.
+        data = data.astype(_jnp.dtype(blk_dtype))
     ndiag, n = data.shape
     if not block_rows:
         block_rows = auto_block_rows(ndiag, data.dtype.itemsize)

@@ -60,13 +60,70 @@ def push_history(hist, i, res):
     return hist.at[i].set(res)
 
 
+_CALLBACKS_OK: Optional[bool] = None
+
+
+def callbacks_supported() -> bool:
+    """Whether ``jax.debug.callback`` works on the current backend.
+
+    The axon remote-TPU backend raises UNIMPLEMENTED on every host
+    callback (pure_callback / io_callback / debug.callback), so live
+    in-jit monitors are impossible there — monitoring rides the
+    device-side residual-history buffer instead, replayed host-side by
+    :func:`replay_monitor` (which ``solve(monitor=...)`` does
+    automatically on every backend)."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        try:
+            _CALLBACKS_OK = jax.default_backend() not in ("axon",)
+        except Exception:  # pragma: no cover - backend probe failure
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
+
 def emit_monitor(monitor, it, res):
     """Per-iteration monitor callback (reference ``monitor`` FnMut(iter,
     res_norm), cg.rs:84-88 / pcg.rs:82-86 / fgmres.rs:93-97). Implemented
     with ``jax.debug.callback`` so it fires from inside jit — ordered,
-    host-side, zero effect on the compiled computation."""
-    if monitor is not None:
+    host-side, zero effect on the compiled computation.
+
+    On backends without host-callback support (see
+    :func:`callbacks_supported`) this is a silent no-op rather than a
+    crash; use ``record_history=True`` + :func:`replay_monitor`, or the
+    ``solve(monitor=...)`` entry point which does both."""
+    if monitor is not None and callbacks_supported():
         jax.debug.callback(monitor, it, res, ordered=True)
+
+
+def replay_monitor(monitor, stats) -> int:
+    """Host-side replay of a solve's per-iteration residuals into a
+    reference-style ``monitor(iter, res_norm)`` callback.
+
+    Reads ``stats.residual_history`` (the NaN-padded fixed-size buffer
+    every solver fills under ``record_history=True``) AFTER the solve —
+    the TPU-functional monitor path: the device records, the host
+    replays. Returns the number of entries delivered (0 when no history
+    was recorded)."""
+    if monitor is None:
+        return 0
+    hist = getattr(stats, "residual_history", None)
+    if hist is None:
+        return 0
+    import numpy as np
+
+    h = np.asarray(hist)
+    if h.ndim != 1:
+        raise ValueError(
+            "replay_monitor needs a single solve's history (1-D); got "
+            f"shape {h.shape} — replay per column for batched solves"
+        )
+    count = 0
+    for i, r in enumerate(h):
+        if np.isnan(r):
+            continue
+        monitor(i, float(r))
+        count += 1
+    return count
 
 
 def default_x0(b, x0):
