@@ -526,7 +526,7 @@ def dia_spmv_rolled(data: Array, offsets: Tuple[int, ...], x: Array, group: int 
 
 def csr_to_dia(
     a: CSRMatrix, max_offsets: int = 512, dtype=None, transpose="auto",
-    grid=None,
+    grid=None, blk_dtype="auto",
 ) -> DIAOperator:
     """Convert host CSR to DIA. Raises if the matrix has more than
     ``max_offsets`` distinct diagonals (DIA would waste too much memory)."""
@@ -554,12 +554,14 @@ def csr_to_dia(
     else:
         np.add.at(data, (krow, rows), a.data.astype(dtype))
     return _make_dia(
-        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid
+        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid,
+        blk_dtype=blk_dtype,
     )
 
 
 def scipy_to_dia(
-    A, max_offsets: int = 512, dtype=np.float32, transpose="auto", grid=None
+    A, max_offsets: int = 512, dtype=np.float32, transpose="auto", grid=None,
+    blk_dtype="auto",
 ) -> DIAOperator:
     """scipy.sparse -> DIAOperator (row-major diagonal convention)."""
     import scipy.sparse as sp
@@ -583,12 +585,14 @@ def scipy_to_dia(
     # costs ~9 s/level)
     data[np.searchsorted(offs, d), rows] = C.data.astype(dtype)
     return _make_dia(
-        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid
+        data, tuple(int(o) for o in offs), n, transpose=transpose, grid=grid,
+        blk_dtype=blk_dtype,
     )
 
 
 def _make_dia(
-    data: np.ndarray, offsets, n: int, transpose="auto", grid=None
+    data: np.ndarray, offsets, n: int, transpose="auto", grid=None,
+    blk_dtype="auto",
 ) -> DIAOperator:
     """Build the operator; attach the streaming-kernel layout eagerly when
     the working set is beyond the VMEM-residency threshold (the streaming
@@ -601,7 +605,14 @@ def _make_dia(
     skips both (saves the transient host copy); ``True`` forces the
     transposed operator even at resident sizes; ``"symmetric"`` asserts
     the caller KNOWS the matrix is symmetric (e.g. Galerkin RAP of a
-    symmetric input) and skips the O(nnz) detection pass entirely."""
+    symmetric input) and skips the O(nnz) detection pass entirely.
+
+    ``blk_dtype``: precision of the STREAMED coefficient panels.
+    ``"auto"`` (default) picks bf16 only when bitwise-exact (see below);
+    an explicit dtype (e.g. ``jnp.bfloat16``) forces it. Pass it HERE —
+    calling ``.planned(blk_dtype=...)`` on a built operator re-fetches
+    the device panel through the relay (~130 s per 8M-dof level on this
+    backend, profiled: 80% of the 8M GMG setup wall)."""
     offsets = tuple(int(o) for o in offsets)
     op = DIAOperator(jnp.asarray(data), offsets, n)
     streaming = (not op._resident() or len(offsets) > 8) and data.dtype.itemsize < 8
@@ -611,7 +622,10 @@ def _make_dia(
         data_t, offs_t = dia_transpose_host(np.asarray(data), offsets, n)
         symmetric = offs_t == offsets and np.array_equal(data_t, np.asarray(data))
         if not symmetric and (streaming or transpose is True):
-            at = _make_dia(data_t, offs_t, n, transpose=False, grid=grid)
+            at = _make_dia(
+                data_t, offs_t, n, transpose=False, grid=grid,
+                blk_dtype=blk_dtype,
+            )
     cs_coeffs = cs_deltas = cs_grid = None
     cs_pallas = False
     # detect for EVERY dtype: f32 beyond-VMEM uses the Pallas kernel
@@ -643,11 +657,12 @@ def _make_dia(
         # panel value back exactly, so matvec results are BITWISE equal
         # to f32 panels while the dominant HBM stream halves (902 vs
         # 846 GB/s measured at 8M dof, 197 vs 344 us/matvec).
-        blk_dtype = None
-        if data.dtype == np.float32:
-            rt = data.astype(jnp.bfloat16).astype(np.float32)
-            if np.array_equal(rt, data):
-                blk_dtype = jnp.bfloat16
+        if blk_dtype == "auto":
+            blk_dtype = None
+            if data.dtype == np.float32:
+                rt = data.astype(jnp.bfloat16).astype(np.float32)
+                if np.array_equal(rt, data):
+                    blk_dtype = jnp.bfloat16
         dblk, plan = plan_dia(data, offsets, blk_dtype=blk_dtype)
         return DIAOperator(
             op.data, offsets, n, jnp.asarray(dblk), plan, at, symmetric,

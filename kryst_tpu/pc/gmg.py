@@ -354,22 +354,24 @@ class GMGPC:
             # grid= enables the constant-stencil fast path (zero
             # coefficient traffic) on levels whose RAP stays exactly
             # constant-coefficient — L0 of the BASELINE Poisson configs
+            # blk_dtype is threaded INTO construction so the streamed-panel
+            # plan runs on the host array; re-planning a built operator
+            # (.planned(blk_dtype=...)) fetches the device panel back
+            # through the relay (~130 s per 8M level, profiled round 4 —
+            # it was 80% of the 372 s 8M setup wall)
+            blk = "auto" if coeff_dtype is None else coeff_dtype
             Ad = scipy_to_dia(
                 A, max_offsets=max_offsets, dtype=dtype, grid=fine,
-                transpose="symmetric" if sym else False,
+                transpose="symmetric" if sym else False, blk_dtype=blk,
             )
-            if coeff_dtype is not None and Ad.data_blk is not None:
-                Ad = Ad.planned(blk_dtype=coeff_dtype)
             Adt = (
                 Ad
                 if sym
                 else scipy_to_dia(
                     A.T.tocsr(), max_offsets=max_offsets, dtype=dtype,
-                    grid=fine, transpose=False,
+                    grid=fine, transpose=False, blk_dtype=blk,
                 )
             )
-            if coeff_dtype is not None and Adt is not Ad and Adt.data_blk is not None:
-                Adt = Adt.planned(blk_dtype=coeff_dtype)
             levels.append(
                 GMGLevel(
                     A=Ad,
