@@ -65,6 +65,31 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, _I64P, _I64P, _F64P,
         ctypes.c_int64, ctypes.c_int64, _I64P, _F64P,
     ]
+    _F32P = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+    lib.kn_dia_offsets.restype = ctypes.c_int64
+    lib.kn_dia_offsets.argtypes = [
+        ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, _I64P,
+    ]
+    lib.kn_dia_offsets32.restype = ctypes.c_int64
+    lib.kn_dia_offsets32.argtypes = [
+        ctypes.c_int64, _I32P, _I32P, ctypes.c_int64, _I64P,
+    ]
+    lib.kn_csr_to_dia_f32.restype = None
+    lib.kn_csr_to_dia_f32.argtypes = [
+        ctypes.c_int64, _I64P, _I64P, _F64P, ctypes.c_int64, _I64P, _F32P,
+    ]
+    lib.kn_csr_to_dia_f32_i32.restype = None
+    lib.kn_csr_to_dia_f32_i32.argtypes = [
+        ctypes.c_int64, _I32P, _I32P, _F64P, ctypes.c_int64, _I64P, _F32P,
+    ]
+    lib.kn_csr_to_dia_f64.restype = None
+    lib.kn_csr_to_dia_f64.argtypes = [
+        ctypes.c_int64, _I64P, _I64P, _F64P, ctypes.c_int64, _I64P, _F64P,
+    ]
+    lib.kn_csr_to_dia_f64_i32.restype = None
+    lib.kn_csr_to_dia_f64_i32.argtypes = [
+        ctypes.c_int64, _I32P, _I32P, _F64P, ctypes.c_int64, _I64P, _F64P,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -260,3 +285,49 @@ def color(indptr, indices, n: int, distance: int) -> Optional[np.ndarray]:
     colors = np.empty(n, dtype=np.int64)
     lib.kn_color(n, indptr, indices, distance, colors)
     return colors
+
+
+def csr_to_dia_fill(indptr, indices, data, n: int, max_offsets: int,
+                    out_dtype):
+    """CSR -> (offsets, (ndiag, n) DIA panel) in one fused native pass.
+
+    Returns ``(offsets_int64, panel)`` on success, ``(None, count)`` when the
+    matrix has ``count > max_offsets`` distinct diagonals (caller raises its
+    own message), or ``None`` when the native library / dtype combination is
+    unavailable (caller falls back to the numpy path). Bitwise-equal to the
+    numpy path: ascending-unique offsets (bitmap scan == np.unique), values
+    cast via f64 with C semantics (== .astype), duplicates accumulated in the
+    output dtype in CSR traversal order (== np.add.at; canonical CSR has no
+    duplicates, where += on the zeroed panel equals direct assignment)."""
+    out_dtype = np.dtype(out_dtype)
+    if out_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    i32 = indptr.dtype == np.int32 and indices.dtype == np.int32
+    if not i32:
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+    else:
+        indptr = np.ascontiguousarray(indptr)
+        indices = np.ascontiguousarray(indices)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    offs = np.empty(max(max_offsets, 1), dtype=np.int64)
+    cnt = (lib.kn_dia_offsets32 if i32 else lib.kn_dia_offsets)(
+        n, indptr, indices, max_offsets, offs
+    )
+    if cnt > max_offsets:
+        return None, int(cnt)
+    offs = np.ascontiguousarray(offs[:cnt])
+    out = np.zeros((int(cnt), n), dtype=out_dtype)
+    fill = {
+        (np.dtype(np.float32), False): lib.kn_csr_to_dia_f32,
+        (np.dtype(np.float32), True): lib.kn_csr_to_dia_f32_i32,
+        (np.dtype(np.float64), False): lib.kn_csr_to_dia_f64,
+        (np.dtype(np.float64), True): lib.kn_csr_to_dia_f64_i32,
+    }[(out_dtype, i32)]
+    fill(n, indptr, indices, data, int(cnt), offs, out)
+    return offs, out

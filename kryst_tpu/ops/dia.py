@@ -534,6 +534,20 @@ def csr_to_dia(
 
     dtype = dtype or a.data.dtype
     n = a.shape[0]
+    from kryst_tpu import native
+
+    nat = native.csr_to_dia_fill(a.indptr, a.indices, a.data, n, max_offsets, dtype)
+    if isinstance(nat, tuple) and nat[0] is None:
+        raise ValueError(
+            f"matrix has {nat[1]} distinct diagonals (> {max_offsets}); "
+            "DIA is not a sensible format — use ELL or reorder first"
+        )
+    if nat is not None:
+        offs_n, data_n = nat
+        return _make_dia(
+            data_n, tuple(int(o) for o in offs_n), n, transpose=transpose,
+            grid=grid, blk_dtype=blk_dtype,
+        )
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.indptr))
     d = a.indices - rows
     offs = np.unique(d)
@@ -573,6 +587,17 @@ def scipy_to_dia(
         C = C.copy()
         C.sum_duplicates()
     n = C.shape[0]
+    from kryst_tpu import native
+
+    nat = native.csr_to_dia_fill(C.indptr, C.indices, C.data, n, max_offsets, dtype)
+    if isinstance(nat, tuple) and nat[0] is None:
+        raise ValueError(f"{nat[1]} distinct diagonals > {max_offsets}")
+    if nat is not None:
+        offs_n, data_n = nat
+        return _make_dia(
+            data_n, tuple(int(o) for o in offs_n), n, transpose=transpose,
+            grid=grid, blk_dtype=blk_dtype,
+        )
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(C.indptr))
     d = C.indices.astype(np.int64) - rows
     offs = np.unique(d)

@@ -249,3 +249,51 @@ def test_filter_rap_matches_python():
     np.testing.assert_array_equal(got.indptr, exp.indptr)
     np.testing.assert_array_equal(got.indices, exp.indices)
     np.testing.assert_array_equal(got.data, exp.data)  # bitwise
+
+
+def _dia_oracle(indptr, indices, data, n, out_dtype):
+    """The numpy path of ops/dia.py::csr_to_dia (duplicate-accumulating)."""
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    d = np.asarray(indices, dtype=np.int64) - rows
+    offs = np.unique(d)
+    panel = np.zeros((len(offs), n), dtype=out_dtype)
+    np.add.at(panel, (np.searchsorted(offs, d), rows), data.astype(out_dtype))
+    return offs, panel
+
+
+@pytest.mark.parametrize("out_dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+def test_csr_to_dia_fill_matches_numpy_bitwise(out_dtype, idx_dtype):
+    rng = np.random.default_rng(7)
+    n = 2048
+    m = sp.random(n, n, density=0.005, random_state=rng, format="csr")
+    m = (m + sp.eye(n)).tocsr()
+    m.sum_duplicates()
+    indptr = m.indptr.astype(idx_dtype)
+    indices = m.indices.astype(idx_dtype)
+    res = native.csr_to_dia_fill(indptr, indices, m.data, n, 2 * n, out_dtype)
+    assert res is not None and res[0] is not None
+    offs, panel = _dia_oracle(m.indptr, m.indices, m.data, n, out_dtype)
+    assert np.array_equal(res[0], offs)
+    assert np.array_equal(res[1], panel)
+
+
+def test_csr_to_dia_fill_duplicates_accumulate_like_add_at():
+    # duplicate (row, col) pairs: f32 accumulation in CSR order == np.add.at
+    indptr = np.array([0, 3, 5], dtype=np.int64)
+    indices = np.array([0, 1, 0, 1, 1], dtype=np.int64)
+    data = np.array([1.1, 2.2, 3.3, 4.4, 5.5])
+    res = native.csr_to_dia_fill(indptr, indices, data, 2, 8, np.float32)
+    offs, panel = _dia_oracle(indptr, indices, data, 2, np.float32)
+    assert np.array_equal(res[0], offs)
+    assert np.array_equal(res[1], panel)
+
+
+def test_csr_to_dia_fill_overflow_reports_count():
+    rng = np.random.default_rng(3)
+    n = 512
+    m = (sp.random(n, n, density=0.05, random_state=rng) + sp.eye(n)).tocsr()
+    m.sum_duplicates()
+    offs, _ = _dia_oracle(m.indptr, m.indices, m.data, n, np.float64)
+    res = native.csr_to_dia_fill(m.indptr, m.indices, m.data, n, 3, np.float64)
+    assert res[0] is None and res[1] == len(offs)
