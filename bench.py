@@ -400,7 +400,7 @@ def main():
 
         t0 = time.time()
         pc = GMGPC.setup(a, grid=(n3, n3, n3), nu_pre=2, nu_post=2,
-                 dtype=np.float32, smoother="chebyshev")
+                 dtype=np.float32, smoother="chebyshev", symmetric=True)
         log(f"GMG setup: {time.time()-t0:.1f}s")
         A64 = csr_to_dia(a, dtype=np.float64)
         b64 = jnp.asarray(np.ones(n))
@@ -634,8 +634,9 @@ def main():
             pc8 = GMGPC.setup(
                 a8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
                 dtype=np.float32, smoother="chebyshev",
-                coeff_dtype=jnp.bfloat16,
+                coeff_dtype=jnp.bfloat16, symmetric=True,
             )
+            emit("gmg_8M_setup_wall", time.time() - t0, "s", None)
             log(f"GMG 8M setup (coeff bf16): {time.time()-t0:.0f}s")
             # grid= here too: the f64 OUTER residual then uses the
             # panel-free const_spmv_xla form instead of streaming 450 MB
