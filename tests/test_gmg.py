@@ -200,3 +200,42 @@ def test_gmg_chebyshev_smoother_converges_and_is_spd():
     s1 = float(jnp.vdot(pc_c.apply(r1), r2))
     s2 = float(jnp.vdot(r1, pc_c.apply(r2)))
     assert abs(s1 - s2) <= 1e-10 * max(abs(s1), 1.0)
+
+
+def test_gmg_symmetric_assertion_matches_detection():
+    # symmetric=True must produce the same hierarchy as auto-detection
+    # (Poisson is symmetric); compare level data bitwise + V-cycle output
+    a = gallery.poisson_3d(12)
+    auto = GMGPC.setup(a, grid=(12,) * 3, dtype=np.float32)
+    asserted = GMGPC.setup(a, grid=(12,) * 3, dtype=np.float32,
+                           symmetric=True)
+    assert len(auto.levels) == len(asserted.levels)
+    for la, lb in zip(auto.levels, asserted.levels):
+        assert la.A.offsets == lb.A.offsets
+        assert np.array_equal(np.asarray(la.A.data), np.asarray(lb.A.data))
+    r = jnp.asarray(
+        np.random.default_rng(0).standard_normal(12 ** 3).astype(np.float32)
+    )
+    assert np.array_equal(np.asarray(auto.apply(r)),
+                          np.asarray(asserted.apply(r)))
+
+
+def test_csr_to_dia_blk_dtype_threading():
+    # an explicit blk_dtype reaches the streamed panel without a device
+    # round-trip; matvec values match the f32-panel operator within bf16
+    # rounding of the coefficients
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    offs = [-256, -16, -3, -1, 0, 1, 3, 16, 256, 512]
+    A = sp.diags([rng.standard_normal(n) for _ in offs], offs,
+                 shape=(n, n), format="csr")
+    from kryst_tpu.ops.dia import scipy_to_dia
+
+    d32 = scipy_to_dia(A, dtype=np.float32)
+    dbf = scipy_to_dia(A, dtype=np.float32, blk_dtype=jnp.bfloat16)
+    assert d32.data_blk is not None and dbf.data_blk is not None
+    assert str(dbf.data_blk.dtype) == "bfloat16"
+    # data (the resident-path panel) stays f32 in both
+    assert d32.data.dtype == dbf.data.dtype
