@@ -261,6 +261,33 @@ class DIAOperator:
             )
         return dia_spmv_xla_cols(self.data, self.offsets, Xk)
 
+    def inter_ok(self, k: int = 1) -> bool:
+        """Whether the block-interleaved carrier path applies: a planned
+        beyond-VMEM operator whose halo fits one neighbor block
+        (margin <= block_rows). Block solvers switch their multivector
+        carrier to the interleaved layout when this holds — the (k, n)
+        streamed path pays ~5 ms of XLA copies + serialized output DMAs
+        per matvec at 8M k=8 (tools/tpu_r4_stage4.py) that the carrier
+        avoids entirely."""
+        return (
+            not _on_cpu()
+            and self.data.dtype.itemsize < 8
+            and self.data_blk is not None
+            and not self._resident()
+            and self.plan.margin <= self.plan.block_rows
+        )
+
+    def matvec_inter(self, Xi: Array, k: int) -> Array:
+        """A @ X on the block-interleaved carrier (ops/streamed.py::
+        interleave_cols layout). Only valid when :meth:`inter_ok` (or,
+        for tests, on CPU where the kernel runs in interpret mode)."""
+        from kryst_tpu.ops.streamed import dia_spmv_planned_inter
+
+        return dia_spmv_planned_inter(
+            self.data_blk, self.offsets, Xi, self.plan, k,
+            interpret=_on_cpu(),
+        )
+
     def rmatvec(self, x: Array) -> Array:
         if self.symmetric:
             return self.matvec(x)  # A^T = A: full streaming path for free

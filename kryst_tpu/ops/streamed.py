@@ -359,6 +359,355 @@ def dia_spmv_planned_cols(
     return Y.reshape(k, npad)[:, :n]
 
 
+def interleave_cols(Xk: Array, plan: DIAPlan) -> Array:
+    """(k, n) multivector -> the block-interleaved carrier layout.
+
+    Layout: logical (nblk + 2, k, bm, 128) flattened to rows x 128 —
+    block-major, column within block, with one ZERO halo block at each
+    end (so the matvec kernel's tail/head views never leave the array).
+    One XLA transpose paid ONCE per solve at entry; inside the solver
+    loop every matvec then reads and writes CONTIGUOUS (k*bm, 128)
+    blocks, which Mosaic pipelines like the single-vector kernel's 2-D
+    stream. The 3-D (k, bm, 128) output blocks of the (k, n) path are k
+    strided plane-DMAs per grid step that Mosaic serializes (the
+    copy-through kernel cost the same 6 ms as the full kernel at 8M
+    k=8 — tools/tpu_r4_stage4.py); the XLA pad/slice/concat copies
+    around that path cost a further ~3 ms per call."""
+    k, n = Xk.shape
+    bm, mpad = plan.block_rows, plan.mpad
+    npad = mpad * 128
+    nblk = plan.nblk
+    Xp = jnp.pad(Xk, ((0, 0), (0, npad - n))).reshape(k, nblk, bm, 128)
+    Xi = Xp.transpose(1, 0, 2, 3).reshape(nblk * k * bm, 128)
+    return jnp.pad(Xi, ((k * bm, k * bm), (0, 0)))
+
+
+def deinterleave_cols(Xi: Array, plan: DIAPlan, k: int, n: int) -> Array:
+    """Inverse of :func:`interleave_cols`: carrier -> (k, n)."""
+    bm, mpad = plan.block_rows, plan.mpad
+    nblk = plan.nblk
+    body = Xi[k * bm : (nblk + 1) * k * bm]
+    Y = body.reshape(nblk, k, bm, 128).transpose(1, 0, 2, 3)
+    return Y.reshape(k, mpad * 128)[:, :n]
+
+
+def interleave_diag(d: Array, plan: DIAPlan) -> Array:
+    """Per-position vector (n,) -> (nblk + 2, 1, bm, 128) broadcastable
+    against a carrier reshaped to (nblk + 2, k, bm, 128): the carrier's
+    column axis is axis 1, so elementwise per-position scalings (Jacobi
+    PCs, diagonal weights) broadcast across all k columns. Halo blocks
+    get zeros (keeps carriers halo-clean under elementwise ops)."""
+    n = d.shape[0]
+    bm, mpad = plan.block_rows, plan.mpad
+    nblk = plan.nblk
+    D = jnp.pad(d, (0, mpad * 128 - n)).reshape(nblk, 1, bm, 128)
+    return jnp.pad(D, ((1, 1), (0, 0), (0, 0), (0, 0)))
+
+
+def _streamed_inter_kernel(offsets, bm, margin, k, nblk,
+                           t_ref, c_ref, h_ref, d_ref, o_ref):
+    """Interleaved-carrier variant: three BLOCK-INDEXED views of the same
+    carrier (previous / center / next block — each a contiguous
+    (k*bm, 128) pipelined stream) supply column c's window as tail of
+    plane (i-1, c) + plane (i, c) + head of plane (i+1, c), then the
+    same shifted-slice offset loop as :func:`_streamed_kernel`. Output
+    is ONE contiguous (k*bm, 128) block per grid step; grid steps 0 and
+    nblk+1 rewrite the carrier's zero halo blocks so the output is a
+    valid carrier for the next matvec. Requires margin <= bm."""
+    import jax.experimental.pallas as pl
+    import jax.lax as lax_
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    lane = lax_.broadcasted_iota(jnp.int32, (bm, 128), 1)
+
+    @pl.when(jnp.logical_or(i == 0, i == nblk + 1))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_and(i > 0, i < nblk + 1))
+    def _():
+        for c in range(k):
+            W0 = jnp.concatenate(
+                [
+                    t_ref[(c + 1) * bm - margin : (c + 1) * bm],
+                    c_ref[c * bm : (c + 1) * bm],
+                    h_ref[c * bm : c * bm + margin],
+                ],
+                axis=0,
+            )
+            acc = None
+            for kd, off in enumerate(offsets):
+                q, r = divmod(off, 128)
+                base = margin + q
+                if r:
+                    W = W0[base : base + bm + 1]
+                    W1 = pltpu.roll(W, jnp.int32(128 - r), axis=1)
+                    Y = jnp.where(lane < 128 - r, W1[:bm], W1[1 : bm + 1])
+                else:
+                    Y = W0[base : base + bm]
+                term = d_ref[kd * bm : (kd + 1) * bm] * Y
+                acc = term if acc is None else acc + term
+            o_ref[c * bm : (c + 1) * bm] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "plan", "k", "interpret"),
+)
+def dia_spmv_planned_inter(
+    data_blk: Array,
+    offsets: Tuple[int, ...],
+    Xi: Array,
+    plan: DIAPlan,
+    k: int,
+    *,
+    interpret: bool = False,
+):
+    """Y = A @ X on the block-interleaved carrier (see interleave_cols).
+
+    Carrier in, carrier out, ONE pallas_call — no pad / slice / concat /
+    transpose copies inside the solver loop and no whole-window VMEM
+    residency (each of the three carrier views is an independently
+    pipelined contiguous block stream; X is read 3x, which is far
+    cheaper than the serialized plane DMAs + XLA copies of the (k, n)
+    path: 6.16 ms -> see bench). Requires plan.margin <=
+    plan.block_rows; callers gate via DIAOperator.inter_ok."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm, margin = plan.block_rows, plan.margin
+    ndiag = len(offsets)
+    nblk = plan.nblk
+    if margin > bm:
+        raise ValueError("interleaved kernel requires margin <= block_rows")
+    isz = Xi.dtype.itemsize
+    one = np.int32(1)
+    z = np.int32(0)
+    nb = np.int32(nblk)
+
+    vmem_bytes = (
+        6 * k * bm * 128 * isz  # double-buffered tail/center/head blocks
+        + 2 * ndiag * bm * 128 * isz  # double-buffered panels
+        + 2 * k * bm * 128 * isz  # double-buffered output blocks
+        + 4 * (bm + 2 * margin) * 128 * isz  # window + shift temporaries
+        + (8 << 20)
+        + ndiag * bm * 128 * isz // 4
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _streamed_inter_kernel, offsets, bm, margin, k, nblk
+        ),
+        grid=(nblk + 2,),
+        in_specs=[
+            # previous / center / next carrier blocks; edge steps clamp
+            # (their fetches are unused: steps 0 and nblk+1 write zeros)
+            pl.BlockSpec(
+                (k * bm, 128),
+                lambda i: (jnp.maximum(i, one) - one, z),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k * bm, 128),
+                lambda i: (jnp.minimum(i + one, nb + one), z),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ndiag * bm, 128),
+                lambda i: (jnp.clip(i - one, z, nb - one), z),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(((nblk + 2) * k * bm, 128), Xi.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(Xi, Xi, Xi, data_blk)
+
+
+def _colmix_kernel(bm, k, scale_diag, v_ref, w_ref, c_ref, d_ref, o_ref):
+    """out = (d *) W + sum_k C[k, q] * V_k per carrier block: the block
+    solvers' column-mixing axpy (X += P alpha etc.) as one streamed pass.
+    The XLA einsum form pays two 256 MB relayout copies per call at 8M
+    k=8 (contraction over the carrier's middle axis; ~3.8 ms vs the
+    ~1 ms stream bound, measured round 4). Scalar coefficients live in
+    SMEM; the k^2 scalar-times-plane FMAs run f32 on the VPU.
+    ``scale_diag`` multiplies W by a per-position diagonal — the fused
+    Z = M R of a Jacobi PC, so Z is never materialized."""
+    for q in range(k):
+        acc = w_ref[q * bm : (q + 1) * bm]
+        if scale_diag:
+            acc = acc * d_ref[...]
+        for kk in range(k):
+            acc = acc + c_ref[kk, q] * v_ref[kk * bm : (kk + 1) * bm]
+        o_ref[q * bm : (q + 1) * bm] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "k", "interpret", "scale")
+)
+def carrier_colmix_add(
+    V: Array, W: Array, C: Array, plan: DIAPlan, k: int,
+    *, diag: Optional[Array] = None, scale: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """(diag *) W + column-mix(C, V) on the block-interleaved carrier:
+    ``out[:, q, :] = d * W[:, q, :] + sum_k C[k, q] V[:, k, :]``.
+    One streamed pass (2-3 reads + 1 write). ``diag`` uses the
+    per-position rows layout (``interleave_diag(...).reshape(-1, 128)``)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = plan.block_rows
+    nblk = plan.nblk
+    isz = V.dtype.itemsize
+    z = np.int32(0)
+    if scale and diag is None:
+        raise ValueError("scale=True requires diag")
+    if diag is None:
+        diag = jnp.zeros((bm, 128), V.dtype)
+        dspec = pl.BlockSpec((bm, 128), lambda i: (z, z),
+                             memory_space=pltpu.VMEM)
+    else:
+        dspec = pl.BlockSpec((bm, 128), lambda i: (i, z),
+                             memory_space=pltpu.VMEM)
+    vmem_bytes = (6 * k + 4) * bm * 128 * isz + (4 << 20)
+    return pl.pallas_call(
+        functools.partial(_colmix_kernel, bm, k, scale),
+        grid=(nblk + 2,),
+        in_specs=[
+            pl.BlockSpec((k * bm, 128), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * bm, 128), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (z, z),
+                         memory_space=pltpu.SMEM),
+            dspec,
+        ],
+        out_specs=pl.BlockSpec((k * bm, 128), lambda i: (i, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((nblk + 2) * k * bm, 128), V.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(V, W, C.astype(V.dtype), diag)
+
+
+def _gram_kernel(bm, k, scale_diag, with_norms, u_ref, v_ref, d_ref,
+                 g_ref, *rest):
+    """G[k, q] += <U_k, (d *) V_q> per carrier block, accumulated in an
+    SMEM (k, k) output across sequential grid steps (same read-modify-
+    write pattern as the single-vector kernel's fused dot). ``scale_diag``
+    fuses a per-position diagonal (Jacobi) into the right factor so
+    gram(R, M R) costs no extra pass; ``with_norms`` adds ||U_k||^2 as a
+    second SMEM output in the same data pass (block PCG's per-column
+    residual norms)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    for kk in range(k):
+        u = u_ref[kk * bm : (kk + 1) * bm]
+        if with_norms:
+            nrm = jnp.sum(u * u)
+            n_ref = rest[0]
+
+            @pl.when(i == 0)
+            def _(kk=kk, nrm=nrm, n_ref=n_ref):
+                n_ref[kk, 0] = nrm
+
+            @pl.when(i > 0)
+            def _(kk=kk, nrm=nrm, n_ref=n_ref):
+                n_ref[kk, 0] = n_ref[kk, 0] + nrm
+        for q in range(k):
+            v = v_ref[q * bm : (q + 1) * bm]
+            if scale_diag:
+                v = v * d_ref[...]
+            partial = jnp.sum(u * v)
+
+            @pl.when(i == 0)
+            def _(kk=kk, q=q, partial=partial):
+                g_ref[kk, q] = partial
+
+            @pl.when(i > 0)
+            def _(kk=kk, q=q, partial=partial):
+                g_ref[kk, q] = g_ref[kk, q] + partial
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "k", "interpret", "scale", "with_norms"),
+)
+def carrier_gram(
+    U: Array, V: Array, plan: DIAPlan, k: int,
+    *, diag: Optional[Array] = None, scale: bool = False,
+    with_norms: bool = False, interpret: bool = False,
+):
+    """G = U^T V on the block-interleaved carrier (column Gram, (k, k)).
+
+    ``diag``/``scale=True``: compute U^T diag(d) V in the same pass —
+    d supplied in the per-position carrier-block layout (bm, 128) per
+    block, i.e. ``interleave_diag(d, plan)`` reshaped to rows.
+    ``with_norms``: also return ||U_k||^2 per column from the same data
+    pass ((G, norms2)). The XLA dot_general form pays carrier relayout
+    copies (contraction over the middle axis); this is 2 streamed reads
+    and no writes."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = plan.block_rows
+    nblk = plan.nblk
+    isz = U.dtype.itemsize
+    z = np.int32(0)
+    if scale and diag is None:
+        raise ValueError("scale=True requires diag")
+    if diag is None:
+        # tiny dummy so the kernel signature is static
+        diag = jnp.zeros((bm, 128), U.dtype)
+        dspec = pl.BlockSpec((bm, 128), lambda i: (z, z),
+                             memory_space=pltpu.VMEM)
+    else:
+        dspec = pl.BlockSpec((bm, 128), lambda i: (i, z),
+                             memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((k, k), lambda i: (z, z), memory_space=pltpu.SMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((k, k), U.dtype)]
+    if with_norms:
+        out_specs.append(
+            pl.BlockSpec((k, 1), lambda i: (z, z), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((k, 1), U.dtype))
+    vmem_bytes = (4 * k + 4) * bm * 128 * isz + (4 << 20)
+    res = pl.pallas_call(
+        functools.partial(_gram_kernel, bm, k, scale, with_norms),
+        grid=(nblk + 2,),
+        in_specs=[
+            pl.BlockSpec((k * bm, 128), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * bm, 128), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            dspec,
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(U, V, diag)
+    if with_norms:
+        return res[0], res[1][:, 0]
+    return res[0]
+
+
 def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
                  smooth=None):
     import jax.experimental.pallas as pl

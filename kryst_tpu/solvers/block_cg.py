@@ -70,20 +70,30 @@ def matvec_cols(A, Xk: Array) -> Array:
 def _solve_small_spd(G: Array, B: Array, eps: float):
     """Solve G Y = B for a (k, k) SPD-up-to-rank-loss Gram matrix.
 
-    Dead directions (diagonal ~0 relative to the largest) are decoupled
-    and pinned so their solution rows are exactly zero; a trace-scaled
-    ridge keeps the Cholesky finite under roundoff-level indefiniteness.
+    Truncated eigen-pseudoinverse (jit-safe cyclic Jacobi — the TPU
+    backend cannot lower eigh in-jit): eigenvalues below k*eps*lam_max
+    are DROPPED, which handles both rank deficiency (converged /
+    linearly dependent columns simply stop moving) and f32
+    roundoff-indefiniteness. The previous masked-Cholesky form went NaN
+    at 8M dof k=8 (round 4): near convergence the f32 Gram picks up
+    small negative eigenvalues that a diagonal ridge cannot always
+    cover, and cholesky(indefinite) poisons the whole carry chain.
+    Dead directions (diagonal ~0) are additionally zeroed on the way in
+    so their rows never re-enter through roundoff coupling.
     """
+    from kryst_tpu.utils.smalleig import jacobi_eigh
+
     d = jnp.diagonal(G)
     valid = d > (16 * eps) ** 2 * jnp.maximum(jnp.max(d), 0.0)
-    nvalid = jnp.maximum(jnp.sum(valid.astype(G.dtype)), 1.0)
     Gm = jnp.where(valid[:, None] & valid[None, :], G, 0.0)
-    tr = jnp.sum(jnp.where(valid, d, 0.0)) / nvalid
-    diag_fix = jnp.where(valid, (50 * eps) * tr, jnp.maximum(tr, 1.0))
-    L = jnp.linalg.cholesky(Gm + jnp.diag(diag_fix))
+    Gm = 0.5 * (Gm + Gm.T)
+    lam, V = jacobi_eigh(Gm)
+    k = G.shape[0]
+    lmax = jnp.maximum(jnp.max(lam), 0.0)
+    keep = lam > (4 * k) * eps * lmax
+    lam_inv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
     Bm = jnp.where(valid[:, None], B, 0.0)
-    Y = jax.scipy.linalg.solve_triangular(L, Bm, lower=True)
-    Y = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+    Y = _mm(V, lam_inv[:, None] * _mm(V.T, Bm))
     return jnp.where(valid[:, None], Y, 0.0)
 
 
@@ -107,6 +117,7 @@ def block_pcg(
     atol: float = 0.0,
     maxiter: int = 1000,
     axis_name: Optional[str] = None,
+    inter: Optional[bool] = None,
 ):
     """Solve A X = B for an (n, k) block of right-hand sides.
 
@@ -115,61 +126,159 @@ def block_pcg(
     the shared block-iteration count. Columns that converge (or become
     linearly dependent inside the block) are frozen by the rank guard
     while the rest continue.
+
+    ``inter``: use the block-interleaved carrier layout internally
+    (ops/streamed.py::interleave_cols): matvecs read/write contiguous
+    per-block column groups instead of the (k, n) path's serialized
+    plane DMAs + XLA copies (6.16 -> 2.64 ms per matvec at 8M k=8,
+    measured). None = automatic: on when ``A.inter_ok(k)`` and the PC
+    is None or diagonal (JacobiPC — its inv_diag maps into the carrier;
+    other PCs would force two layout transposes per iteration).
     """
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k), got {B.shape}")
     A = as_operator(A, dtype=B.dtype)
     n, k = B.shape
-    # internal layout is (k, n) rows-of-columns: the streaming block
-    # matvec ingests it transpose-free (the (n, k) layout paid two
-    # strided 256 MB layout moves per matvec at 8M k=8, round 3), and
-    # every Gram stays one dot_general. Entry/exit transposes only.
-    Bk = B.T
-    Xk = jnp.zeros_like(Bk) if X0 is None else jnp.asarray(X0, B.dtype).T
-    apply_M = (lambda V: V) if M is None else (lambda V: jax.vmap(M.apply)(V))
     eps = float(jnp.finfo(B.dtype).eps)
 
-    def colnorms(V):
-        s = jnp.sum(V * V, axis=1)
-        if axis_name is not None:
-            s = lax.psum(s, axis_name)
-        return jnp.sqrt(s)
+    from kryst_tpu.pc.jacobi import JacobiPC
 
-    def gram(U, V):
-        # U V^T without materializing a transpose: contract the long axis
-        G = lax.dot_general(
-            U, V, (((1,), (1,)), ((), ())), precision=lax.Precision.HIGHEST
+    diag_pc = M is None or isinstance(M, JacobiPC)
+    if inter is None:
+        ok = getattr(A, "inter_ok", None)
+        inter = bool(ok(k)) if ok is not None else False
+        inter = inter and diag_pc and axis_name is None
+    if inter and not diag_pc:
+        raise ValueError(
+            "inter=True supports only M=None or JacobiPC (other PCs "
+            "need the (k, n) layout; pass inter=False)"
         )
-        if axis_name is not None:
-            G = lax.psum(G, axis_name)
-        return G
 
-    R = Bk - matvec_cols(A, Xk)
-    Z = apply_M(R)
-    res0 = colnorms(R)
+    if inter:
+        from kryst_tpu.ops.streamed import (
+            _on_cpu, carrier_colmix_add, carrier_gram, deinterleave_cols,
+            interleave_cols, interleave_diag,
+        )
+
+        plan = A.plan
+        nb2 = plan.nblk + 2
+        bm = plan.block_rows
+        itp = _on_cpu()
+
+        Bk = interleave_cols(B.T, plan)
+        Xk = (
+            jnp.zeros_like(Bk)
+            if X0 is None
+            else interleave_cols(jnp.asarray(X0, B.dtype).T, plan)
+        )
+        jac = M is not None
+        dinv_rows = None
+        if jac:
+            dinv_rows = interleave_diag(
+                jnp.asarray(M.inv_diag, B.dtype), plan
+            ).reshape(nb2 * bm, 128)
+            apply_M = lambda V: (
+                V.reshape(nb2, k, bm, 128)
+                * dinv_rows.reshape(nb2, 1, bm, 128)
+            ).reshape(V.shape)
+        else:
+            apply_M = lambda V: V
+
+        def do_matvec(V):
+            return A.matvec_inter(V, k)
+
+        def gram_T(P, Q):
+            # P^T Q: two streamed reads, SMEM accumulation — the XLA
+            # dot_general over the carrier's middle axis relayouts 256 MB
+            # per call at 8M k=8
+            return carrier_gram(P, Q, plan, k, interpret=itp)
+
+        def S_res_z(R):
+            # fused: S = R^T (M R) and per-column ||R||^2 in ONE pass
+            S, n2 = carrier_gram(
+                R, R, plan, k, diag=dinv_rows, scale=jac,
+                with_norms=True, interpret=itp,
+            )
+            return S, jnp.sqrt(n2), None
+
+        def add_mix(W, C, V):
+            # W + sum_k C[k, q] V_k
+            return carrier_colmix_add(V, W, C, plan, k, interpret=itp)
+
+        def mix_P(Z_unused, R, beta, P):
+            # P' = M R + P beta (Jacobi fused into the same pass)
+            return carrier_colmix_add(
+                P, R, beta, plan, k, diag=dinv_rows, scale=jac,
+                interpret=itp,
+            )
+    else:
+        # internal layout is (k, n) rows-of-columns: the streaming block
+        # matvec ingests it transpose-free (the (n, k) layout paid two
+        # strided 256 MB layout moves per matvec at 8M k=8, round 3), and
+        # every Gram stays one dot_general. Entry/exit transposes only.
+        Bk = B.T
+        Xk = jnp.zeros_like(Bk) if X0 is None else jnp.asarray(X0, B.dtype).T
+        apply_M = (
+            (lambda V: V) if M is None else (lambda V: jax.vmap(M.apply)(V))
+        )
+
+        def do_matvec(V):
+            return matvec_cols(A, V)
+
+        def colnorms(V):
+            s = jnp.sum(V * V, axis=1)
+            if axis_name is not None:
+                s = lax.psum(s, axis_name)
+            return jnp.sqrt(s)
+
+        def gram(U, V):
+            # U V^T without materializing a transpose: contract the long
+            # axis
+            G = lax.dot_general(
+                U, V, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )
+            if axis_name is not None:
+                G = lax.psum(G, axis_name)
+            return G
+
+        def gram_T(P, Q):
+            return gram(P, Q)
+
+        def S_res_z(R):
+            Z = apply_M(R)
+            return gram(R, Z), colnorms(R), Z
+
+        def add_mix(W, C, V):
+            # W + sum_k C[k, q] V_k ((P alpha)^T = alpha^T P_k: the
+            # (k, k) transpose is free)
+            return W + _mm(C.T, V)
+
+        def mix_P(Z, R, beta, P):
+            return Z + _mm(beta.T, P)
+
+    R = Bk - do_matvec(Xk)
+    S0, res0, Z0 = S_res_z(R)
+    P0 = apply_M(R) if Z0 is None else Z0
     thresh = jnp.maximum(tol * jnp.where(res0 > 0, res0, 1.0), atol)
-    S0 = gram(R, Z)
 
     def cond(c: _Carry):
         return (~c.done) & (c.it < maxiter)
 
     def body(c: _Carry) -> _Carry:
-        Q = matvec_cols(A, c.P)
-        T = gram(c.P, Q)
+        Q = do_matvec(c.P)
+        T = gram_T(c.P, Q)
         alpha = _solve_small_spd(T, c.S, eps)
-        # (P alpha)^T = alpha^T P_k: the (k, k) transpose is free
-        X = c.X + _mm(alpha.T, c.P)
-        R = c.R - _mm(alpha.T, Q)
-        Z = apply_M(R)
-        S_new = gram(R, Z)
+        X = add_mix(c.X, alpha, c.P)
+        R = add_mix(c.R, -alpha, Q)
+        S_new, res, Z = S_res_z(R)
         beta = _solve_small_spd(c.S, S_new, eps)
-        P = Z + _mm(beta.T, c.P)
-        res = colnorms(R)
+        P = mix_P(Z, R, beta, c.P)
         done = jnp.all(res <= thresh)
         return _Carry(X, R, P, S_new, res, c.it + 1, done)
 
-    init = _Carry(Xk, R, Z, S0, res0, jnp.int32(0),
+    init = _Carry(Xk, R, P0, S0, res0, jnp.int32(0),
                   jnp.all(res0 <= thresh))
     final = lax.while_loop(cond, body, init)
     reached = final.res <= thresh
@@ -182,4 +291,7 @@ def block_pcg(
         maxiter,
         None,
     )
-    return final.X.T, stats
+    Xout = (
+        deinterleave_cols(final.X, plan, k, n).T if inter else final.X.T
+    )
+    return Xout, stats

@@ -139,3 +139,49 @@ def test_solve_dispatches_block_pcg():
     # 1-D rhs degenerates to k=1
     x, st1 = solve(a, B[:, 0], solver="block_pcg", pc="jacobi", tol=1e-8)
     assert x.shape == (144,)
+
+
+def test_block_pcg_interleaved_carrier_matches_cols_path():
+    # the carrier layout (ops/streamed.py interleave_cols) must reproduce
+    # the (k, n) path: same iteration count, solutions equal to f32
+    # roundoff. CPU runs the pallas kernel in interpret mode.
+    import scipy.sparse as sp
+
+    from kryst_tpu.ops.dia import scipy_to_dia
+    from kryst_tpu.pc.jacobi import JacobiPC
+
+    rng = np.random.default_rng(4)
+    n = 98304
+    offs = [-12800, -128, -1, 0, 1, 128, 12800]
+    vals = [-0.5, -1.0, -0.8, 6.0, -0.8, -1.0, -0.5]
+    A = sp.diags([v * np.ones(n) for v in vals], offs, shape=(n, n),
+                 format="csr")
+    Ad = scipy_to_dia(A, dtype=np.float32).planned(block_rows=1024)
+    assert Ad.plan.margin <= Ad.plan.block_rows
+    k = 3
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    M = JacobiPC.setup(Ad)
+    X1, s1 = block_pcg(Ad, B, M=M, tol=1e-6, maxiter=200, inter=False)
+    X2, s2 = block_pcg(Ad, B, M=M, tol=1e-6, maxiter=200, inter=True)
+    assert int(s1.iterations) == int(s2.iterations)
+    assert np.asarray(s2.reached_tol).all()
+    scale = float(np.max(np.abs(np.asarray(X1))))
+    assert float(np.max(np.abs(np.asarray(X1) - np.asarray(X2)))) <= 1e-5 * scale
+
+
+def test_block_pcg_inter_rejects_nondiagonal_pc():
+    import scipy.sparse as sp
+
+    from kryst_tpu.ops.dia import scipy_to_dia
+    from kryst_tpu.pc.sor import SORPC
+    from kryst_tpu.matrix.csr import CSRMatrix
+
+    a = gallery.poisson_2d(48)
+    Ad = scipy_to_dia(
+        sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape),
+        dtype=np.float32,
+    ).planned(block_rows=256)
+    M = SORPC.setup(a, omega=1.0)
+    B = np.ones((a.shape[0], 2), dtype=np.float32)
+    with pytest.raises(ValueError):
+        block_pcg(Ad, B, M=M, inter=True)
