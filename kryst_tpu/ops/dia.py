@@ -277,15 +277,17 @@ class DIAOperator:
             and self.plan.margin <= self.plan.block_rows
         )
 
-    def matvec_inter(self, Xi: Array, k: int) -> Array:
+    def matvec_inter(self, Xi: Array, k: int, with_gram: bool = False):
         """A @ X on the block-interleaved carrier (ops/streamed.py::
         interleave_cols layout). Only valid when :meth:`inter_ok` (or,
-        for tests, on CPU where the kernel runs in interpret mode)."""
+        for tests, on CPU where the kernel runs in interpret mode).
+        ``with_gram=True`` returns ``(Yi, X^T A X)`` from the same pass
+        (block PCG's T = P^T Q at zero extra HBM traffic)."""
         from kryst_tpu.ops.streamed import dia_spmv_planned_inter
 
         return dia_spmv_planned_inter(
             self.data_blk, self.offsets, Xi, self.plan, k,
-            interpret=_on_cpu(),
+            with_gram=with_gram, interpret=_on_cpu(),
         )
 
     def rmatvec(self, x: Array) -> Array:

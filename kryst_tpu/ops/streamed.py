@@ -404,8 +404,8 @@ def interleave_diag(d: Array, plan: DIAPlan) -> Array:
     return jnp.pad(D, ((1, 1), (0, 0), (0, 0), (0, 0)))
 
 
-def _streamed_inter_kernel(offsets, bm, margin, k, nblk,
-                           t_ref, c_ref, h_ref, d_ref, o_ref):
+def _streamed_inter_kernel(offsets, bm, margin, k, nblk, with_gram,
+                           *refs):
     """Interleaved-carrier variant: three BLOCK-INDEXED views of the same
     carrier (previous / center / next block — each a contiguous
     (k*bm, 128) pipelined stream) supply column c's window as tail of
@@ -413,11 +413,18 @@ def _streamed_inter_kernel(offsets, bm, margin, k, nblk,
     same shifted-slice offset loop as :func:`_streamed_kernel`. Output
     is ONE contiguous (k*bm, 128) block per grid step; grid steps 0 and
     nblk+1 rewrite the carrier's zero halo blocks so the output is a
-    valid carrier for the next matvec. Requires margin <= bm."""
+    valid carrier for the next matvec. Requires margin <= bm.
+
+    ``with_gram`` adds G = X^T (A X) as an SMEM (k, k) output with ZERO
+    extra DMA: the center input view is exactly this step's X block and
+    the computed output is its A X block (block PCG's T = P^T Q)."""
     import jax.experimental.pallas as pl
     import jax.lax as lax_
     from jax.experimental.pallas import tpu as pltpu
 
+    t_ref, c_ref, h_ref, d_ref = refs[:4]
+    o_ref = refs[4]
+    g_ref = refs[5] if with_gram else None
     i = pl.program_id(0)
     lane = lax_.broadcasted_iota(jnp.int32, (bm, 128), 1)
 
@@ -425,8 +432,17 @@ def _streamed_inter_kernel(offsets, bm, margin, k, nblk,
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    if with_gram:
+
+        @pl.when(i == 0)
+        def _():
+            for kk in range(k):
+                for q in range(k):
+                    g_ref[kk, q] = jnp.zeros((), o_ref.dtype)
+
     @pl.when(jnp.logical_and(i > 0, i < nblk + 1))
     def _():
+        ys = []
         for c in range(k):
             W0 = jnp.concatenate(
                 [
@@ -449,11 +465,18 @@ def _streamed_inter_kernel(offsets, bm, margin, k, nblk,
                 term = d_ref[kd * bm : (kd + 1) * bm] * Y
                 acc = term if acc is None else acc + term
             o_ref[c * bm : (c + 1) * bm] = acc
+            if with_gram:
+                ys.append(acc)
+        if with_gram:
+            for kk in range(k):
+                x_kk = c_ref[kk * bm : (kk + 1) * bm]
+                for q in range(k):
+                    g_ref[kk, q] = g_ref[kk, q] + jnp.sum(x_kk * ys[q])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "plan", "k", "interpret"),
+    static_argnames=("offsets", "plan", "k", "interpret", "with_gram"),
 )
 def dia_spmv_planned_inter(
     data_blk: Array,
@@ -462,6 +485,7 @@ def dia_spmv_planned_inter(
     plan: DIAPlan,
     k: int,
     *,
+    with_gram: bool = False,
     interpret: bool = False,
 ):
     """Y = A @ X on the block-interleaved carrier (see interleave_cols).
@@ -472,7 +496,12 @@ def dia_spmv_planned_inter(
     pipelined contiguous block stream; X is read 3x, which is far
     cheaper than the serialized plane DMAs + XLA copies of the (k, n)
     path: 6.16 ms -> see bench). Requires plan.margin <=
-    plan.block_rows; callers gate via DIAOperator.inter_ok."""
+    plan.block_rows; callers gate via DIAOperator.inter_ok.
+
+    ``with_gram=True`` returns ``(Yi, G)`` with ``G = X^T (A X)`` —
+    block PCG's T = P^T Q — accumulated in SMEM from the blocks the
+    matvec already has resident, saving a whole carrier_gram pass
+    (2 streamed reads of 2 x 268 MB at 8M k=8)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -494,9 +523,22 @@ def dia_spmv_planned_inter(
         + (8 << 20)
         + ndiag * bm * 128 * isz // 4
     )
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (k * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
+        )
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(((nblk + 2) * k * bm, 128), Xi.dtype)
+    ]
+    if with_gram:
+        out_specs.append(
+            pl.BlockSpec((k, k), lambda i: (z, z), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((k, k), Xi.dtype))
+    res = pl.pallas_call(
         functools.partial(
-            _streamed_inter_kernel, offsets, bm, margin, k, nblk
+            _streamed_inter_kernel, offsets, bm, margin, k, nblk, with_gram
         ),
         grid=(nblk + 2,),
         in_specs=[
@@ -521,15 +563,14 @@ def dia_spmv_planned_inter(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (k * bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(((nblk + 2) * k * bm, 128), Xi.dtype),
+        out_specs=tuple(out_specs) if with_gram else out_specs[0],
+        out_shape=tuple(out_shape) if with_gram else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024)
         ),
         interpret=interpret,
     )(Xi, Xi, Xi, data_blk)
+    return res
 
 
 def _colmix_kernel(bm, k, scale_diag, v_ref, w_ref, c_ref, d_ref, o_ref):

@@ -188,11 +188,11 @@ def block_pcg(
         def do_matvec(V):
             return A.matvec_inter(V, k)
 
-        def gram_T(P, Q):
-            # P^T Q: two streamed reads, SMEM accumulation — the XLA
-            # dot_general over the carrier's middle axis relayouts 256 MB
-            # per call at 8M k=8
-            return carrier_gram(P, Q, plan, k, interpret=itp)
+        def matvec_gram(P):
+            # Q = A P and T = P^T Q from ONE kernel: the Gram accumulates
+            # in SMEM from the blocks the matvec already has resident,
+            # saving carrier_gram's 2 extra streamed reads per iteration
+            return A.matvec_inter(P, k, with_gram=True)
 
         def S_res_z(R):
             # fused: S = R^T (M R) and per-column ||R||^2 in ONE pass
@@ -243,8 +243,9 @@ def block_pcg(
                 G = lax.psum(G, axis_name)
             return G
 
-        def gram_T(P, Q):
-            return gram(P, Q)
+        def matvec_gram(P):
+            Q = do_matvec(P)
+            return Q, gram(P, Q)
 
         def S_res_z(R):
             Z = apply_M(R)
@@ -267,8 +268,7 @@ def block_pcg(
         return (~c.done) & (c.it < maxiter)
 
     def body(c: _Carry) -> _Carry:
-        Q = do_matvec(c.P)
-        T = gram_T(c.P, Q)
+        Q, T = matvec_gram(c.P)
         alpha = _solve_small_spd(T, c.S, eps)
         X = add_mix(c.X, alpha, c.P)
         R = add_mix(c.R, -alpha, Q)

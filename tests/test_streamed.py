@@ -153,3 +153,27 @@ def test_planned_block_multi_chunk_matches_xla():
     )
     Y_ref = np.asarray(dia_spmv_xla_block(jnp.asarray(data), offs, X))
     np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-5, atol=1e-4)
+
+def test_planned_inter_with_gram_matches_xla():
+    # fused G = X^T (A X) from the matvec kernel's resident blocks must
+    # match the XLA reference Gram (block PCG's T = P^T Q fusion)
+    from kryst_tpu.ops.dia import dia_spmv_xla_block
+    from kryst_tpu.ops.streamed import (
+        deinterleave_cols, dia_spmv_planned_inter, interleave_cols,
+    )
+
+    n, k = 20_000, 4
+    data, offs, _ = _rand_case(n, (-1_000, -128, -1, 0, 1, 128, 1_000), seed=21)
+    rng = np.random.default_rng(22)
+    Xk = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    dblk, plan = plan_dia(data, offs, block_rows=64)
+    assert plan.margin <= plan.block_rows
+    Xi = interleave_cols(Xk, plan)
+    Yi, G = dia_spmv_planned_inter(
+        jnp.asarray(dblk), offs, Xi, plan, k, with_gram=True, interpret=True
+    )
+    Y = deinterleave_cols(Yi, plan, k, n)
+    Y_ref = np.asarray(dia_spmv_xla_block(jnp.asarray(data), offs, Xk.T)).T
+    np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-5, atol=1e-4)
+    G_ref = np.asarray(Xk) @ Y_ref.T
+    np.testing.assert_allclose(np.asarray(G), G_ref, rtol=2e-4, atol=2e-3)
