@@ -188,7 +188,10 @@ def main():
                         )[1].iterations
                     ): f(A2, b2, pc)
                 ),
-                60, 180, reps=2,
+                # span must dwarf today's relay-RTT jitter: at ~50 us/iter
+                # a 120-iter delta is 6 ms and can slope NEGATIVE (seen
+                # round 4); 500 iters = 25+ ms of real signal
+                60, 560, reps=3,
             )
 
         dt2 = per_iter2(pc2)
@@ -348,7 +351,7 @@ def main():
                 )
             ): f(x0)
         ),
-        100, 700,
+        200, 3200,
     )
     traffic = (A.data.size + 2 * n) * 4
     log(f"DIA SpMV 1M: {dt*1e6:.1f} us -> {traffic/dt/1e9:.0f} GB/s effective")
@@ -380,7 +383,8 @@ def main():
                     )[1].iterations
                 ): f(A, b, M)
             ),
-            100, 300, reps=2,
+            # ~24 us/iter: need >= 1000-iter span to clear relay jitter
+            200, 1400, reps=3,
         )
         per_rhs = dt_blk / 8.0
         log(
@@ -580,6 +584,31 @@ def main():
                 )
                 emit("block_matvec_8M_k8_per_call", dt_blk8 * 1e3, "ms",
                      est_blk / dt_blk8)
+
+                # fused matvec+gram (block PCG's Q = A P, T = P^T Q from
+                # ONE kernel): same traffic bound as the matvec alone —
+                # the Gram accumulates in SMEM from resident blocks,
+                # replacing carrier_gram's two extra streamed reads
+                def mk_blk_g(it):
+                    f = jax.jit(
+                        lambda A, X, it=it: jax.lax.fori_loop(
+                            0, it,
+                            lambda t, Xc: (
+                                lambda r: r[0] * 0.12 + r[1][0, 0] * 1e-20
+                            )(A.matvec_inter(Xc, kblk, with_gram=True)),
+                            X,
+                        )[0, 0]
+                    )
+                    return lambda: f(A8p, Xi0)
+
+                dt_blkg = slope(mk_blk_g, 8, 24, reps=2)
+                log(
+                    f"block matvec+gram 8M k={kblk} (fused): "
+                    f"{dt_blkg*1e3:.2f} ms/call (matvec alone "
+                    f"{dt_blk8*1e3:.2f}; unfused adds a carrier_gram pass)"
+                )
+                emit("block_matvec_gram_8M_k8_fused_per_call",
+                     dt_blkg * 1e3, "ms", est_blk / dt_blkg)
                 del A8p, Xk0, Xi0
             except Exception as e:
                 log(f"block matvec 8M bench failed: {type(e).__name__}: {e}")

@@ -70,16 +70,20 @@ def matvec_cols(A, Xk: Array) -> Array:
 def _solve_small_spd(G: Array, B: Array, eps: float):
     """Solve G Y = B for a (k, k) SPD-up-to-rank-loss Gram matrix.
 
-    Truncated eigen-pseudoinverse (jit-safe cyclic Jacobi — the TPU
-    backend cannot lower eigh in-jit): eigenvalues below k*eps*lam_max
-    are DROPPED, which handles both rank deficiency (converged /
-    linearly dependent columns simply stop moving) and f32
-    roundoff-indefiniteness. The previous masked-Cholesky form went NaN
-    at 8M dof k=8 (round 4): near convergence the f32 Gram picks up
-    small negative eigenvalues that a diagonal ridge cannot always
-    cover, and cholesky(indefinite) poisons the whole carry chain.
-    Dead directions (diagonal ~0) are additionally zeroed on the way in
-    so their rows never re-enter through roundoff coupling.
+    Fast path: masked, trace-ridged Cholesky (a handful of ops — this
+    runs INSIDE the solver loop, twice per block iteration). Rescue
+    path: near convergence the f32 Gram at 8M k=8 picks up small
+    negative eigenvalues a diagonal ridge cannot always cover, and
+    cholesky(indefinite) poisons the whole carry chain (round-4 NaN
+    bug). When the Cholesky factor is non-finite, a ``lax.cond``
+    switches to a truncated eigen-pseudoinverse (jit-safe cyclic Jacobi
+    — the TPU backend cannot lower eigh in-jit; eigenvalues below
+    4k*eps*lam_max are DROPPED). The eig branch costs ~0.5 ms (336
+    scan-step rotations at k=8) so it must stay OFF the common path:
+    an unconditional eig solve measured 9.2 ms/block-iter at 1M where
+    the Cholesky form runs 1.1 ms (bench round 4).
+    Dead directions (diagonal ~0) are zeroed on the way in so their
+    rows never re-enter through roundoff coupling.
     """
     from kryst_tpu.utils.smalleig import jacobi_eigh
 
@@ -87,13 +91,26 @@ def _solve_small_spd(G: Array, B: Array, eps: float):
     valid = d > (16 * eps) ** 2 * jnp.maximum(jnp.max(d), 0.0)
     Gm = jnp.where(valid[:, None] & valid[None, :], G, 0.0)
     Gm = 0.5 * (Gm + Gm.T)
-    lam, V = jacobi_eigh(Gm)
-    k = G.shape[0]
-    lmax = jnp.maximum(jnp.max(lam), 0.0)
-    keep = lam > (4 * k) * eps * lmax
-    lam_inv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
     Bm = jnp.where(valid[:, None], B, 0.0)
-    Y = _mm(V, lam_inv[:, None] * _mm(V.T, Bm))
+    k = G.shape[0]
+    nvalid = jnp.maximum(jnp.sum(valid.astype(G.dtype)), 1.0)
+    tr = jnp.sum(jnp.where(valid, d, 0.0)) / nvalid
+    diag_fix = jnp.where(valid, (50 * eps) * tr, jnp.maximum(tr, 1.0))
+    L = jnp.linalg.cholesky(Gm + jnp.diag(diag_fix))
+    ok = jnp.all(jnp.isfinite(L))
+
+    def chol_solve(_):
+        Y = jax.scipy.linalg.solve_triangular(L, Bm, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+
+    def eig_solve(_):
+        lam, V = jacobi_eigh(Gm)
+        lmax = jnp.maximum(jnp.max(lam), 0.0)
+        keep = lam > (4 * k) * eps * lmax
+        lam_inv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
+        return _mm(V, lam_inv[:, None] * _mm(V.T, Bm))
+
+    Y = lax.cond(ok, chol_solve, eig_solve, None)
     return jnp.where(valid[:, None], Y, 0.0)
 
 
@@ -153,6 +170,12 @@ def block_pcg(
         raise ValueError(
             "inter=True supports only M=None or JacobiPC (other PCs "
             "need the (k, n) layout; pass inter=False)"
+        )
+    if inter and getattr(A, "plan", None) is None:
+        raise ValueError(
+            "inter=True needs a planned streaming operator (A.plan is "
+            "None — call A.planned() or csr_to_dia on a beyond-VMEM "
+            "operator first, or pass inter=False)"
         )
 
     if inter:

@@ -185,3 +185,49 @@ def test_block_pcg_inter_rejects_nondiagonal_pc():
     B = np.ones((a.shape[0], 2), dtype=np.float32)
     with pytest.raises(ValueError):
         block_pcg(Ad, B, M=M, inter=True)
+
+
+def test_block_pcg_inter_rejects_unplanned_operator():
+    # inter=True on an operator with no streaming plan must raise a
+    # clear ValueError, not AttributeError on plan.nblk (found driving
+    # a resident-size DIAOperator on the TPU)
+    A = csr_to_dia(gallery.poisson_2d(16), dtype=np.float64)
+    assert A.plan is None
+    B = np.ones((A.shape[0], 2), dtype=np.float64)
+    with pytest.raises(ValueError, match="planned"):
+        block_pcg(A, B, inter=True)
+
+
+def test_solve_small_spd_indefinite_rescue():
+    # the masked-Cholesky fast path NaNs on an indefinite Gram (the f32
+    # 8M k=8 failure); the lax.cond eigen-rescue must kick in and return
+    # the truncated pseudo-inverse solve, finite and accurate on the
+    # positive eigenspace
+    from kryst_tpu.solvers.block_cg import _solve_small_spd
+
+    rng = np.random.default_rng(11)
+    Q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    lam = np.array([4.0, 2.5, 1.0, 0.3, -1e-4, -2e-3])  # indefinite
+    G = (Q * lam) @ Q.T
+    B = rng.standard_normal((6, 3))
+    eps = float(jnp.finfo(jnp.float64).eps)
+    Y = np.asarray(_solve_small_spd(jnp.asarray(G), jnp.asarray(B), eps))
+    assert np.all(np.isfinite(Y))
+    # truncated pinv reference: negative/small eigenvalues dropped
+    keep = lam > 4 * 6 * eps * lam.max()
+    pinv = (Q[:, keep] / lam[keep]) @ Q[:, keep].T
+    np.testing.assert_allclose(Y, pinv @ B, rtol=1e-8, atol=1e-10)
+
+
+def test_solve_small_spd_spd_uses_exact_solve():
+    # a well-conditioned SPD Gram must take the Cholesky path and match
+    # the direct solve to machine precision (ridge is ~50*eps relative)
+    from kryst_tpu.solvers.block_cg import _solve_small_spd
+
+    rng = np.random.default_rng(12)
+    W = rng.standard_normal((8, 8))
+    G = W @ W.T + 8 * np.eye(8)
+    B = rng.standard_normal((8, 2))
+    eps = float(jnp.finfo(jnp.float64).eps)
+    Y = np.asarray(_solve_small_spd(jnp.asarray(G), jnp.asarray(B), eps))
+    np.testing.assert_allclose(Y, np.linalg.solve(G, B), rtol=1e-6)
