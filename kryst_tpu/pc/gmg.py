@@ -251,6 +251,7 @@ class GMGPC:
         smoother: str = "jacobi",
         cheb_alpha: float = 4.0,
         symmetric: bool = None,
+        rap: str = "host",
     ) -> "GMGPC":
         """``grid``: the structured grid shape whose lexicographic
         flattening indexes ``a`` (e.g. (nx, ny) / (nx, ny, nz)).
@@ -281,7 +282,16 @@ class GMGPC:
         O(nnz) pass; True/False asserts it (Galerkin RAP preserves the
         answer on every level either way). Skipping the pass saves ~27 s
         at 8M dof on this host.
+
+        ``rap``: "host" computes every coarse operator with scipy CSR
+        SpGEMM in f64 and uploads the panels; "probe" computes them ON
+        THE DEVICE by exact stencil probing of P^T A P through the
+        V-cycle's own transfer kernels (pc/rap_probe.py) — same Galerkin
+        operators (in the level dtype's arithmetic), no host SpGEMM and
+        no coarse-panel uploads (the dominant 8M setup costs).
         """
+        if rap not in ("host", "probe"):
+            raise ValueError(f"rap must be 'host' or 'probe', got {rap!r}")
         dtype = dtype or a.data.dtype
         if int(np.prod(grid)) != a.shape[0]:
             raise ValueError(f"grid {grid} does not match n={a.shape[0]}")
@@ -298,6 +308,12 @@ class GMGPC:
             sym = asym <= 1e-12 * max(1.0, float(abs(A).max()))
         else:
             sym = bool(symmetric)
+        if rap == "probe":
+            return _probe_setup(
+                A, grid, sym, max_levels, coarse_size, nu_pre, nu_post,
+                smooth_omega, p_omega, max_offsets, smooth_levels, dtype,
+                coeff_dtype, smoother, cheb_alpha,
+            )
         fine = tuple(grid)
         levels: List[GMGLevel] = []
         cheb_ubs: List[float] = []
@@ -440,3 +456,195 @@ register_dataclass(
     meta_fields=["nu_pre", "nu_post", "smooth_omega", "smoother",
                  "cheb_pre", "cheb_post"],
 )
+
+
+def _probe_setup(
+    A, grid, sym, max_levels, coarse_size, nu_pre, nu_post,
+    smooth_omega, p_omega, max_offsets, smooth_levels, dtype,
+    coeff_dtype, smoother, cheb_alpha,
+):
+    """GMGPC.setup(rap="probe"): the same hierarchy, with every coarse
+    operator computed ON DEVICE by exact Galerkin stencil probing
+    (pc/rap_probe.py) instead of host scipy SpGEMM + panel upload.
+
+    Level 0 comes from the host CSR exactly as in host mode; each deeper
+    level's DIA data is probed through the previous GMGLevel's own
+    prolong/matvec/restrict, pruned of structurally-zero diagonals (one
+    tiny per-diagonal max fetch), and laid out for the streaming kernel
+    on the device. Host work after level 0 is O(1) per level."""
+    import jax as _jax
+
+    from kryst_tpu.pc.rap_probe import (
+        build_coarse_operator, coarse_reach, dia_to_dense_host,
+        per_axis_reach, probe_coarse_data, probe_deltas, probe_ok,
+        prune_diagonals,
+    )
+
+    fine = tuple(grid)
+    levels: List[GMGLevel] = []
+    cheb_ubs: List[float] = []
+    blk0 = "auto" if coeff_dtype is None else coeff_dtype
+    blk = None if coeff_dtype is None else coeff_dtype
+
+    # ---- level 0 operator from the host CSR (needed on device anyway)
+    d0 = np.asarray(A.diagonal())
+    dinv_host = np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1.0), 0.0)
+    Ad = scipy_to_dia(
+        A, max_offsets=max_offsets, dtype=dtype, grid=fine,
+        transpose="symmetric" if sym else True, blk_dtype=blk0,
+    )
+    dinv_dev = jnp.asarray(dinv_host.astype(dtype))
+
+    def _ub_host():
+        rowsum = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        return float(
+            np.max(
+                np.where(d0 != 0, rowsum / np.maximum(np.abs(d0), 1e-300), 0.0)
+            )
+        )
+
+    _ub_dev = _jax.jit(
+        lambda D, i0: jnp.max(
+            jnp.where(
+                D[i0] != 0,
+                jnp.sum(jnp.abs(D), axis=0) / jnp.abs(D[i0]),
+                0.0,
+            )
+        ),
+        static_argnums=(1,),
+    )
+    _dinv_dev = _jax.jit(
+        lambda dd: jnp.where(dd != 0, 1.0 / jnp.where(dd != 0, dd, 1.0), 0.0)
+    )
+    _probe = _jax.jit(probe_coarse_data, static_argnums=(1, 2))
+
+    handoff = False  # grid got too small for alias-free probing
+    for lvl_idx in range(max_levels):
+        nn = int(np.prod(fine))
+        if nn <= coarse_size or min(fine) <= 2:
+            break
+        coarse = tuple((f + 1) // 2 for f in fine)
+        smoothed = lvl_idx < smooth_levels
+        fr = per_axis_reach(Ad.offsets, fine)
+        if fr is None:
+            raise ValueError(
+                "rap='probe' needs grid-local stencil offsets; "
+                f"level {lvl_idx} offsets do not decompose over {fine}"
+            )
+        rc = coarse_reach(fr, smoothed)
+        if not probe_ok(coarse, rc):
+            handoff = True  # finish the (tiny) tail on the host path
+            break
+        if smoother == "chebyshev":
+            if lvl_idx == 0:
+                cheb_ubs.append(max(_ub_host(), 1e-12))
+            else:
+                i0 = Ad.offsets.index(0)
+                cheb_ubs.append(max(float(_ub_dev(Ad.data, i0)), 1e-12))
+        lvl = GMGLevel(
+            A=Ad,
+            At=(Ad if sym else Ad.at),
+            inv_diag=dinv_dev,
+            Es=_expansion_matrices(coarse, fine),
+            fine=fine,
+            coarse=coarse,
+            p_omega=p_omega,
+            smoothed=smoothed,
+        )
+        levels.append(lvl)
+        nc = int(np.prod(coarse))
+        datac, offs = prune_diagonals(
+            _probe(lvl, rc, "A"), probe_deltas(rc), coarse
+        )
+        datat = offst = None
+        if not sym:
+            datat, offst = prune_diagonals(
+                _probe(lvl, rc, "At"), probe_deltas(rc), coarse
+            )
+        if len(offs) > max_offsets:
+            levels.pop()
+            if smoother == "chebyshev":
+                cheb_ubs.pop()
+            handoff = True
+            break
+        Ad = build_coarse_operator(
+            datac, offs, nc, sym, datat, offst, blk_dtype=blk
+        )
+        dinv_dev = _dinv_dev(datac[offs.index(0)])
+        fine = coarse
+
+    if handoff and levels:
+        # probing became infeasible (grid smaller than a color period /
+        # offset blow-up) with n still above coarse_size. The remaining
+        # levels are SMALL by definition — fetch the current operator
+        # (tiny) and finish the identical hierarchy on the host path, so
+        # probe-mode hierarchies are structurally equal to host-mode ones.
+        from kryst_tpu.matrix.csr import CSRMatrix as _CSR
+
+        from kryst_tpu.pc.rap_probe import dia_to_scipy_host
+
+        a_tail = dia_to_scipy_host(
+            np.asarray(_jax.device_get(Ad.data)), Ad.offsets,
+            int(np.prod(fine)),
+        )
+        tail = GMGPC.setup(
+            _CSR(
+                a_tail.indptr, a_tail.indices, a_tail.data, a_tail.shape
+            ),
+            fine,
+            max_levels=max_levels - len(levels),
+            coarse_size=coarse_size,
+            nu_pre=nu_pre,
+            nu_post=nu_post,
+            smooth_omega=smooth_omega,
+            p_omega=p_omega,
+            max_offsets=max_offsets,
+            smooth_levels=max(0, smooth_levels - len(levels)),
+            dtype=dtype,
+            coeff_dtype=coeff_dtype,
+            smoother=smoother,
+            cheb_alpha=cheb_alpha,
+            symmetric=sym,
+            rap="host",
+        )
+        return GMGPC(
+            levels=tuple(levels) + tail.levels,
+            coarse_inv=tail.coarse_inv,
+            nu_pre=nu_pre,
+            nu_post=nu_post,
+            smooth_omega=smooth_omega,
+            smoother=smoother,
+            cheb_pre=tuple(
+                chebyshev_omegas(ub, nu_pre, cheb_alpha) for ub in cheb_ubs
+            ) + tail.cheb_pre,
+            cheb_post=tuple(
+                chebyshev_omegas(ub, nu_post, cheb_alpha) for ub in cheb_ubs
+            ) + tail.cheb_post,
+        )
+
+    if levels:
+        n_bot = int(np.prod(fine))  # bottom operator is Ad (last probed)
+        dense = dia_to_dense_host(
+            np.asarray(_jax.device_get(Ad.data)), Ad.offsets, n_bot
+        )
+        coarse_inv = np.linalg.inv(dense)
+    else:
+        coarse_inv = np.linalg.inv(A.toarray())
+    cheb_pre = cheb_post = ()
+    if smoother == "chebyshev":
+        cheb_pre = tuple(
+            chebyshev_omegas(ub, nu_pre, cheb_alpha) for ub in cheb_ubs
+        )
+        cheb_post = tuple(
+            chebyshev_omegas(ub, nu_post, cheb_alpha) for ub in cheb_ubs
+        )
+    return GMGPC(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
+        nu_pre=nu_pre,
+        nu_post=nu_post,
+        smooth_omega=smooth_omega,
+        smoother=smoother,
+        cheb_pre=cheb_pre,
+        cheb_post=cheb_post,
+    )
