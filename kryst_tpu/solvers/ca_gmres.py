@@ -114,7 +114,8 @@ def _arnoldi_prepass(op, v0, k: int, axis_name: Optional[str], dtype):
     return H[:k, :k]
 
 
-def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype):
+def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype,
+                   k: Optional[int] = None):
     """Newton-basis shifts, computed ENTIRELY on device (jit/TPU-safe).
 
     Nonsymmetric eigensolves are CPU-only in XLA and this environment's
@@ -133,7 +134,13 @@ def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype):
     Skew-dominant spectra (beta >= alpha, foci on the imaginary axis)
     degrade to ``f = alpha`` — still bounded growth, unlike monomial.
     """
-    H = _arnoldi_prepass(op, r0, s, axis_name, dtype)
+    # The prepass size is decoupled from s: the shifts only need the
+    # INTERVAL/ellipse of the Ritz spectrum, which a ~12-step Arnoldi
+    # already bounds well — while a full s-step MGS prepass reads the
+    # whole (s+1, n) basis twice per step (measured 136 ms per solve at
+    # 8M dof, s=30: 2.3 ms of the 7.2 ms/iter; k=12 costs ~18 ms).
+    k = min(s, 12) if k is None else min(k, s)
+    H = _arnoldi_prepass(op, r0, k, axis_name, dtype)
     Hs = (H + H.T) * 0.5
     # extreme eigenvalues by power iteration on the tiny (s, s) matrix —
     # NOT eigvalsh: XLA's QDWH eigh lowering takes tens of minutes to
@@ -153,8 +160,8 @@ def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype):
     # g >= rho(Hs) makes both shifted matrices definite, so the power
     # iteration's dominant eigenvalue is the wanted extreme one
     g = jnp.linalg.norm(Hs)  # Frobenius >= spectral radius
-    hi = _pmax(Hs + g * jnp.eye(s, dtype=dtype)) - g  # lambda_max
-    lo = g - _pmax(g * jnp.eye(s, dtype=dtype) - Hs)  # lambda_min
+    hi = _pmax(Hs + g * jnp.eye(k, dtype=dtype)) - g  # lambda_max
+    lo = g - _pmax(g * jnp.eye(k, dtype=dtype) - Hs)  # lambda_min
     lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
     K = (H - H.T) * 0.5
     beta2 = _pmax(_mm(K.T, K))  # ||K||_2^2
@@ -301,15 +308,19 @@ def ca_gmres(
             #    arithmetic; g_i the equilibration scale keeping column
             #    norms O(1) — see _newton_shifts); monomial = zero shifts,
             #    unit scales
-            def gen(carry, inp):
-                u_prev, u = carry
-                re_i, q_i, g_i = inp
-                w = (op(u) - re_i * u + q_i * u_prev) / g_i
-                return (u, w), w
-
-            _, P0 = lax.scan(
-                gen, (jnp.zeros_like(v), v), (sh_re, sh_imsq, sh_gamma)
-            )  # (s, n)
+            # STATIC unroll + one stack, not lax.scan: the scan's stacked
+            # ys output costs a full (s, n)-buffer pass per step on this
+            # backend (measured 46.9 ms vs the ~6 ms matvec bound for
+            # s=30 at 8M dof — ~1.25 ms/step, exactly one 960 MB copy);
+            # with s static the unrolled form keeps each u_i as its own
+            # 32 MB value and pays the (s, n) write ONCE at the stack.
+            u_prev, u = jnp.zeros_like(v), v
+            ws = []
+            for i in range(s):
+                w = (op(u) - sh_re[i] * u + sh_imsq[i] * u_prev) / sh_gamma[i]
+                ws.append(w)
+                u_prev, u = u, w
+            P0 = jnp.stack(ws)  # (s, n)
 
             # exact norm equilibration (one extra psum per block): the
             # static gammas only bound growth to the Ritz-interval
