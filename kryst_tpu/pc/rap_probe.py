@@ -168,15 +168,29 @@ def probe_coarse_data(level, rc, mid="A"):
     W = lax.map(one_probe, jnp.asarray(colors))  # (nprobe, nc)
 
     # ---- extraction: d_o[j] = W[color(j + o), j], static slices only ----
+    # Layout rule (TPU tiling): keep ALL the tiny probe/residue axes
+    # LEADING and one large flattened block axis minormost — interleaved
+    # (B_ax, r_ax) pairs leave a width-p minor axis that tile padding
+    # expands ~30x (measured: a 1.12 GB extraction ballooned to 21.3 GB
+    # of HLO temps at 8M dof and OOMed HBM at compile). With (..., r, B)
+    # shapes the pad factor is ~8/p on the second-minor axis only.
     cpad = tuple(-(-c // p) * p for c, p in zip(coarse, periods))
+    Bs = tuple(cp // p for cp, p in zip(cpad, periods))
+    bflat = int(np.prod(Bs))
     Wg = W.reshape((nprobe,) + coarse)
     pad = [(0, 0)] + [(0, cp - c) for cp, c in zip(cpad, coarse)]
     Wg = jnp.pad(Wg, pad)
-    # axes: [probe_0..probe_{d-1}] + interleaved [(B_ax, r_ax) per axis]
-    shp = tuple(periods) + sum(
-        (((cp // p), p) for cp, p in zip(cpad, periods)), ()
+    cur = Wg.reshape((nprobe,) + sum(
+        ((b, p) for b, p in zip(Bs, periods)), ()
+    ))
+    # one transpose: [probe, B_0, r_0, ..] -> [probe, r_0.., B_0..]
+    perm = (0,) + tuple(2 + 2 * i for i in range(d)) + tuple(
+        1 + 2 * i for i in range(d)
     )
-    cur = Wg.reshape(shp)
+    cur = cur.transpose(perm)
+    # split the probe axis (row-major over periods, matching `colors`)
+    cur = cur.reshape(tuple(periods) + tuple(periods) + (bflat,))
+    # axes: [probe_0..probe_{d-1}, r_0..r_{d-1}, Bflat]
 
     # consume one probe axis at a time, producing an offset axis in front;
     # every index is static (index_in_dim = slice, never a gather)
@@ -185,8 +199,8 @@ def probe_coarse_data(level, rc, mid="A"):
         p = periods[ax]
         probe_pos = ax  # = offset axes already produced in front
         # residue axis of `ax` once its probe axis is removed:
-        # [off: ax] + [remaining probes: d-ax-1] + [(B, r) pairs: 2ax] + B_ax
-        res_pos = ax + (d - ax - 1) + 2 * ax + 1
+        # [off: ax] + [remaining probes: d-ax-1] + [r_0..r_{ax-1}: ax]
+        res_pos = d - 1 + ax
         o_pieces = []
         for o in deltas_axes[ax]:
             r_parts = []
@@ -198,12 +212,16 @@ def probe_coarse_data(level, rc, mid="A"):
             o_pieces.append(jnp.stack(r_parts, axis=res_pos))
         cur = jnp.stack(o_pieces, axis=ax)
 
-    # axes now: [off_0..off_{d-1}] + [(B_ax, r_ax) pairs] — flatten the
-    # (B, r) pairs back to padded grid axes, slice off the padding
+    # axes now: [off_0..off_{d-1}, r_0..r_{d-1}, Bflat] — interleave the
+    # residues back into padded grid axes, slice off the padding
     noff = tuple(len(da) for da in deltas_axes)
-    cur = cur.reshape(noff + cpad)
-    cur = cur[(slice(None),) * d + tuple(slice(0, c) for c in coarse)]
-    return cur.reshape((int(np.prod(noff)), nc))
+    noff_flat = int(np.prod(noff))
+    cur = cur.reshape((noff_flat,) + tuple(periods) + Bs)
+    perm2 = (0,) + sum(((1 + d + i, 1 + i) for i in range(d)), ())
+    cur = cur.transpose(perm2)
+    cur = cur.reshape((noff_flat,) + cpad)
+    cur = cur[(slice(None),) + tuple(slice(0, c) for c in coarse)]
+    return cur.reshape((noff_flat, nc))
 
 
 def prune_diagonals(data, deltas, coarse, tol: float = 0.0):
