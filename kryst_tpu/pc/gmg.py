@@ -472,6 +472,10 @@ def _probe_setup(
     prolong/matvec/restrict, pruned of structurally-zero diagonals (one
     tiny per-diagonal max fetch), and laid out for the streaming kernel
     on the device. Host work after level 0 is O(1) per level."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     import jax as _jax
 
     from kryst_tpu.pc.rap_probe import (
@@ -479,6 +483,16 @@ def _probe_setup(
         per_axis_reach, probe_coarse_data, probe_deltas, probe_ok,
         prune_diagonals,
     )
+
+    _trace = bool(_os.environ.get("KRYST_TPU_SETUP_TRACE"))
+    _tprev = [_time.time()]
+
+    def _t(msg):
+        if _trace:
+            now = _time.time()
+            print(f"[probe-setup] {msg}: {now - _tprev[0]:.1f}s",
+                  file=_sys.stderr, flush=True)
+            _tprev[0] = now
 
     fine = tuple(grid)
     levels: List[GMGLevel] = []
@@ -489,10 +503,12 @@ def _probe_setup(
     # ---- level 0 operator from the host CSR (needed on device anyway)
     d0 = np.asarray(A.diagonal())
     dinv_host = np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1.0), 0.0)
+    _t("L0 host diag")
     Ad = scipy_to_dia(
         A, max_offsets=max_offsets, dtype=dtype, grid=fine,
         transpose="symmetric" if sym else True, blk_dtype=blk0,
     )
+    _t("L0 scipy_to_dia (+upload)")
     dinv_dev = jnp.asarray(dinv_host.astype(dtype))
 
     def _ub_host():
@@ -556,11 +572,13 @@ def _probe_setup(
         datac, offs = prune_diagonals(
             _probe(lvl, rc, "A"), probe_deltas(rc), coarse
         )
+        _t(f"L{lvl_idx} probe+prune ({len(offs)} diags)")
         datat = offst = None
         if not sym:
             datat, offst = prune_diagonals(
                 _probe(lvl, rc, "At"), probe_deltas(rc), coarse
             )
+            _t(f"L{lvl_idx} transpose probe+prune")
         if len(offs) > max_offsets:
             levels.pop()
             if smoother == "chebyshev":
@@ -570,6 +588,7 @@ def _probe_setup(
         Ad = build_coarse_operator(
             datac, offs, nc, sym, datat, offst, blk_dtype=blk
         )
+        _t(f"L{lvl_idx} coarse op build (relayout)")
         dinv_dev = _dinv_dev(datac[offs.index(0)])
         fine = coarse
 
@@ -628,6 +647,7 @@ def _probe_setup(
             np.asarray(_jax.device_get(Ad.data)), Ad.offsets, n_bot
         )
         coarse_inv = np.linalg.inv(dense)
+        _t("bottom fetch + dense inverse")
     else:
         coarse_inv = np.linalg.inv(A.toarray())
     cheb_pre = cheb_post = ()
