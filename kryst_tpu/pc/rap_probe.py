@@ -167,60 +167,51 @@ def probe_coarse_data(level, rc, mid="A"):
 
     W = lax.map(one_probe, jnp.asarray(colors))  # (nprobe, nc)
 
-    # ---- extraction: d_o[j] = W[color(j + o), j], static slices only ----
-    # Layout rule (TPU tiling): keep ALL the tiny probe/residue axes
-    # LEADING and one large flattened block axis minormost — interleaved
-    # (B_ax, r_ax) pairs leave a width-p minor axis that tile padding
-    # expands ~30x (measured: a 1.12 GB extraction ballooned to 21.3 GB
-    # of HLO temps at 8M dof and OOMed HBM at compile). With (..., r, B)
-    # shapes the pad factor is ~8/p on the second-minor axis only.
-    cpad = tuple(-(-c // p) * p for c, p in zip(coarse, periods))
-    Bs = tuple(cp // p for cp, p in zip(cpad, periods))
-    bflat = int(np.prod(Bs))
-    Wg = W.reshape((nprobe,) + coarse)
-    pad = [(0, 0)] + [(0, cp - c) for cp, c in zip(cpad, coarse)]
-    Wg = jnp.pad(Wg, pad)
-    cur = Wg.reshape((nprobe,) + sum(
-        ((b, p) for b, p in zip(Bs, periods)), ()
-    ))
-    # one transpose: [probe, B_0, r_0, ..] -> [probe, r_0.., B_0..]
-    perm = (0,) + tuple(2 + 2 * i for i in range(d)) + tuple(
-        1 + 2 * i for i in range(d)
-    )
-    cur = cur.transpose(perm)
-    # split the probe axis (row-major over periods, matching `colors`)
-    cur = cur.reshape(tuple(periods) + tuple(periods) + (bflat,))
-    # axes: [probe_0..probe_{d-1}, r_0..r_{d-1}, Bflat]
-
-    # consume one probe axis at a time, producing an offset axis in front;
-    # every index is static (index_in_dim = slice, never a gather)
+    # ---- extraction: d_o[j] = W[color(j + o), j] --------------------
+    # Per-axis masked contraction on UNFACTORED grid axes. Earlier forms
+    # factored each grid axis into (block, residue) pairs; any width-p
+    # axis that lands minormost gets tile-padded to 128 lanes (a 1.12 GB
+    # extraction OOMed as 21.3 GB of HLO temps at 8M), and the rescue
+    # transposes write padded strided buffers at a fraction of the HBM
+    # roofline. Here the grid axes stay whole: consuming probe axis `ax`
+    # is, for each offset o and probe component c,
+    #     out[o][j] += cur[c][j] * (j_ax mod p == (c - o) mod p)
+    # — a sum of p static slices times iota masks per offset. The masks
+    # are disjoint, every term is elementwise, and all terms share the
+    # same p input slices, so XLA multi-output fusion reads the input
+    # ~once per axis. Shapes stay rank <= 2 + d with a grid-axis minor.
     deltas_axes = [list(range(-r, r + 1)) for r in rc]
+    cur = W.reshape((nprobe,) + coarse)
+    # leading probe axis factors row-major over periods (matches colors)
     for ax in range(d):
         p = periods[ax]
-        probe_pos = ax  # = offset axes already produced in front
-        # residue axis of `ax` once its probe axis is removed:
-        # [off: ax] + [remaining probes: d-ax-1] + [r_0..r_{ax-1}: ax]
-        res_pos = d - 1 + ax
-        o_pieces = []
+        # cur axes: [off_0..off_{ax-1} fused with remaining probe axes
+        # as one leading axis] + grid. Leading axis layout: done offsets
+        # slowest, then probe component for `ax`, then remaining probes.
+        lead = cur.shape[0]
+        # view as (n_done, p, inner, *grid): n_done = offset axes already
+        # produced (slowest), p = this axis's probe component, inner =
+        # the remaining (un-consumed) probe axes
+        n_done = int(np.prod([len(deltas_axes[a]) for a in range(ax)])) or 1
+        inner = lead // (n_done * p)
+        curv = cur.reshape((n_done, p, inner) + cur.shape[1:])
+        io = lax.broadcasted_iota(
+            jnp.int32, tuple(1 for _ in range(3)) + cur.shape[1:], 3 + ax
+        )
+        pieces = []
         for o in deltas_axes[ax]:
-            r_parts = []
-            for r in range(p):
-                c = (r + o) % p
-                part = lax.index_in_dim(cur, c, probe_pos, keepdims=False)
-                part = lax.index_in_dim(part, r, res_pos, keepdims=False)
-                r_parts.append(part)
-            o_pieces.append(jnp.stack(r_parts, axis=res_pos))
-        cur = jnp.stack(o_pieces, axis=ax)
+            acc = None
+            for c in range(p):
+                m = ((io % p) == ((c - o) % p)).astype(W.dtype)
+                term = curv[:, c : c + 1] * m
+                acc = term if acc is None else acc + term
+            pieces.append(acc)  # (n_done, 1, inner, *grid)
+        cur = jnp.concatenate(pieces, axis=1).reshape(
+            (n_done * len(deltas_axes[ax]) * inner,) + cur.shape[1:]
+        )
+        # leading layout now: [off_0..off_ax, remaining probes]
 
-    # axes now: [off_0..off_{d-1}, r_0..r_{d-1}, Bflat] — interleave the
-    # residues back into padded grid axes, slice off the padding
-    noff = tuple(len(da) for da in deltas_axes)
-    noff_flat = int(np.prod(noff))
-    cur = cur.reshape((noff_flat,) + tuple(periods) + Bs)
-    perm2 = (0,) + sum(((1 + d + i, 1 + i) for i in range(d)), ())
-    cur = cur.transpose(perm2)
-    cur = cur.reshape((noff_flat,) + cpad)
-    cur = cur[(slice(None),) + tuple(slice(0, c) for c in coarse)]
+    noff_flat = int(np.prod([len(da) for da in deltas_axes]))
     return cur.reshape((noff_flat, nc))
 
 

@@ -107,25 +107,21 @@ def test_probe_chebyshev_bounds_match():
 
 
 def test_probe_pcg_iteration_parity():
-    from kryst_tpu.solvers.cg import pcg
-
-    a = gallery.poisson_2d(32)
-    b = jnp.ones(32 * 32)
-    host = GMGPC.setup(a, (32, 32), coarse_size=16)
-    probe = GMGPC.setup(a, (32, 32), coarse_size=16, rap="probe")
-    _, sh = jax.jit(lambda M, b: pcg_wrap(M, b))(host, b)
-    _, sp_ = jax.jit(lambda M, b: pcg_wrap(M, b))(probe, b)
-    assert int(sh.iterations) == int(sp_.iterations)
-    assert bool(sh.reached_tol) and bool(sp_.reached_tol)
-
-
-def pcg_wrap(M, b):
     from kryst_tpu.ops.dia import csr_to_dia
     from kryst_tpu.solvers.cg import pcg
 
     a = gallery.poisson_2d(32)
     A = csr_to_dia(a, dtype=np.float64)
-    return pcg(A, b, M=M, tol=1e-10, maxiter=400)
+    b = jnp.ones(32 * 32)
+    host = GMGPC.setup(a, (32, 32), coarse_size=16)
+    probe = GMGPC.setup(a, (32, 32), coarse_size=16, rap="probe")
+    f = jax.jit(
+        lambda A, b, M: pcg(A, b, M=M, tol=1e-10, maxiter=400)
+    )
+    _, sh = f(A, b, host)
+    _, sp_ = f(A, b, probe)
+    assert int(sh.iterations) == int(sp_.iterations)
+    assert bool(sh.reached_tol) and bool(sp_.reached_tol)
 
 
 def test_probe_rejects_bad_rap_arg():
