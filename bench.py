@@ -671,6 +671,11 @@ def main():
                 a8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
                 dtype=np.float32, smoother="chebyshev",
                 coeff_dtype=jnp.bfloat16, symmetric=True,
+                # device-side probed Galerkin RAP (pc/rap_probe.py): no
+                # host SpGEMM, no coarse-panel uploads — 36.6 s warm vs
+                # 59.9 s host in the same process (stage 8). Warm relies
+                # on the committed .jax_cache (compiles are ~300 s cold).
+                rap="probe" if not on_cpu else "host",
             )
             emit("gmg_8M_setup_wall", time.time() - t0, "s", None)
             log(f"GMG 8M setup (coeff bf16): {time.time()-t0:.0f}s")
