@@ -301,3 +301,46 @@ def expander_laplacian(
     return CSRMatrix(
         Lc.indptr, Lc.indices, Lc.data.astype(dtype), (n, n)
     )
+
+
+def fem_poisson_2d(
+    npts: int, seed: int = 0, shift: float = 1e-3, dtype=np.float64,
+) -> CSRMatrix:
+    """P1 finite-element stiffness matrix on an UNSTRUCTURED Delaunay
+    triangulation of random points in the unit square (+ ``shift`` times
+    the lumped mass matrix, making it SPD without boundary bookkeeping).
+
+    A genuine FEM sparsity pattern: variable row degree (~7 average),
+    no constant stencil, and node ordering with large bandwidth unless
+    reordered — the realistic middle ground between grid Poisson (DIA
+    rescues it) and the expander (nothing rescues it) for validating
+    the dense/cells/ELL dispatch (VERDICT r3 item 8).
+    """
+    import scipy.sparse as sp
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((npts, 2))
+    tri = Delaunay(pts)
+    t = tri.simplices  # (ntri, 3)
+    p = pts[t]  # (ntri, 3, 2)
+    # per-element stiffness: K_ij = area * grad(phi_i) . grad(phi_j)
+    x, y = p[..., 0], p[..., 1]
+    b = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], 1)
+    c = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], 1)
+    area2 = b[:, 0] * c[:, 1] - b[:, 1] * c[:, 0]  # = 2*area (signed)
+    area2 = np.where(np.abs(area2) < 1e-300, 1e-300, area2)
+    Ke = (
+        b[:, :, None] * b[:, None, :] + c[:, :, None] * c[:, None, :]
+    ) / (2.0 * np.abs(area2))[:, None, None]
+    rows = np.repeat(t, 3, axis=1).reshape(-1)
+    cols = np.tile(t, (1, 3)).reshape(-1)
+    K = sp.coo_matrix(
+        (Ke.reshape(-1), (rows, cols)), shape=(npts, npts)
+    ).tocsr()
+    # lumped mass (row sums of |area|/3 per element corner)
+    lm = np.zeros(npts)
+    np.add.at(lm, t.reshape(-1), np.repeat(np.abs(area2) / 6.0, 3))
+    K = (K + sp.diags(shift * lm)).tocsr()
+    K.eliminate_zeros()
+    return CSRMatrix(K.indptr, K.indices, K.data.astype(dtype), K.shape)
