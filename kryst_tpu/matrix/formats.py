@@ -33,8 +33,14 @@ _DENSE_BYTES_CAP = 192 << 20
 _BREAKEVEN_BYTES = 5000
 
 
-def scipy_to_ell(A, dtype):
-    """scipy CSR -> ELLOperator (zero-padded rows, int32 columns)."""
+def scipy_to_ell(A, dtype, max_bytes: int = 2 << 30):
+    """scipy CSR -> ELLOperator (zero-padded rows, int32 columns).
+
+    ``max_bytes`` caps the padded plan (n * max_row_width slots of
+    value + int32 column): a long-tailed row-degree distribution pads
+    every row to the longest one, and a runaway plan CRASHED the TPU
+    worker process at 284k rows in round 4 (stage 9) — fail with a
+    clear error instead of taking the worker down."""
     from kryst_tpu.core.linop import ELLOperator
 
     A = A.tocsr()
@@ -42,6 +48,14 @@ def scipy_to_ell(A, dtype):
     widths = np.diff(A.indptr)
     k = max(int(widths.max()) if len(widths) else 1, 1)
     n = A.shape[0]
+    plan_bytes = n * k * (np.dtype(dtype).itemsize + 4)
+    if plan_bytes > max_bytes:
+        raise ValueError(
+            f"ELL plan is {plan_bytes/2**30:.1f} GiB (n={n} x max row "
+            f"width {k}): a long-tailed row distribution pads every row "
+            "to the widest one. Use the cell layout "
+            "(ops/cellspmv.scipy_to_cells) or split the heavy rows."
+        )
     data = np.zeros((n, k), dtype=dtype)
     cols = np.zeros((n, k), dtype=np.int32)
     rows_of_nnz = np.repeat(np.arange(n), widths)
@@ -81,4 +95,17 @@ def pick_unstructured(A, dtype, need_rmatvec: bool = True):
         )
         if op is not None:
             return op
-    return scipy_to_ell(A, dtype)
+    try:
+        return scipy_to_ell(A, dtype)
+    except ValueError:
+        # ELL plan over the memory cap (long-tailed rows) and the cell
+        # cost model declined: cells is still the only SAFE format —
+        # force-build it rather than crash the TPU worker on a runaway
+        # padded plan
+        from kryst_tpu.ops.cellspmv import scipy_to_cells
+
+        return scipy_to_cells(
+            A, dtype=dtype,
+            transpose="auto" if need_rmatvec else "never",
+            max_pad_ratio=1e9,
+        )

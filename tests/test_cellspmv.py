@@ -185,3 +185,50 @@ def test_amg_expander_uses_cells_and_converges():
     x, st = pcg(a.to_device_operator(dtype=np.float64), b, M=M, tol=1e-8,
                 maxiter=300)
     assert bool(st.reached_tol), (int(st.iterations), float(st.rel_residual))
+
+
+def test_ell_plan_byte_cap_raises():
+    # a single monster row pads EVERY ELL row to its width; round-4
+    # stage 9 saw such a plan crash the TPU worker — scipy_to_ell must
+    # refuse with a clear error instead
+    from kryst_tpu.matrix.formats import scipy_to_ell
+
+    n = 512
+    rows = np.concatenate([np.zeros(300, np.int64), np.arange(1, n)])
+    cols = np.concatenate([np.arange(300), np.zeros(n - 1, np.int64)])
+    A = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    with pytest.raises(ValueError, match="ELL plan"):
+        scipy_to_ell(A, np.float64, max_bytes=100_000)
+
+
+def test_pick_unstructured_long_tail_avoids_runaway_ell():
+    # long-tailed row degrees at >= 50k nnz: the picker must return a
+    # SAFE format (cells via the cost model or the forced fallback) and
+    # its matvec must match scipy
+    from kryst_tpu.core.linop import ELLOperator
+    from kryst_tpu.matrix.formats import pick_unstructured
+
+    rng = np.random.default_rng(0)
+    n = 30_000
+    # ~2 nnz/row background + one 20_000-wide row
+    r_bg = rng.integers(0, n, 60_000)
+    c_bg = rng.integers(0, n, 60_000)
+    r_hot = np.zeros(20_000, np.int64)
+    c_hot = rng.permutation(n)[:20_000]
+    A = sp.coo_matrix(
+        (
+            np.ones(len(r_bg) + len(r_hot)),
+            (np.concatenate([r_bg, r_hot]), np.concatenate([c_bg, c_hot])),
+        ),
+        shape=(n, n),
+    ).tocsr()
+    A.sum_duplicates()
+    op = pick_unstructured(A, np.float64, need_rmatvec=False)
+    # a full-width ELL here would be n * 20_000 slots (4.8 GB) — any
+    # other outcome is acceptable
+    assert not isinstance(op, ELLOperator)
+    x = rng.standard_normal(n)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-12)
