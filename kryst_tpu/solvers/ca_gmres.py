@@ -68,6 +68,12 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
+# Skip CholeskyQR pass 3 when cond_F(L2) is below this (pass-2 output
+# orthonormality error ~ s*eps*cond(L2)^2). 0.0 disables the skip
+# (always three passes).
+_QR3_COND_SKIP = 4.0
+
+
 class _Carry(NamedTuple):
     x: Array
     it: Array
@@ -102,15 +108,19 @@ def _arnoldi_prepass(op, v0, k: int, axis_name: Optional[str], dtype):
     H = jnp.zeros((k + 1, k), dtype=dtype)
     for j in range(k):  # static unroll, k is small
         w = op(V[j])
-        h = _mm(V, w)  # (k+1,) — includes zero rows: harmless
+        # STATIC live-prefix slice: only rows 0..j are nonzero, and j is a
+        # Python loop index — projecting against the full (k+1, n) buffer
+        # reads ~2x the live data per step (measured 136 ms for the old
+        # full-basis 30-step prepass at 8M dof; the zero rows are not free)
+        Vlive = V[: j + 1]
+        h = _mm(Vlive, w)  # (j+1,)
         if axis_name is not None:
             h = lax.psum(h, axis_name)
-        mask = (jnp.arange(k + 1) <= j).astype(dtype)
-        h = h * mask
-        w = w - _mm(h, V)
+        w = w - _mm(h, Vlive)
         hj1 = jnp.sqrt(dot(w, w, axis_name))
         V = V.at[j + 1].set(safe_div(w, hj1))
-        H = H.at[:, j].set(h.at[j + 1].set(hj1))
+        H = H.at[: j + 1, j].set(h)
+        H = H.at[j + 1, j].set(hj1)
     return H[:k, :k]
 
 
@@ -188,7 +198,18 @@ def _cholqr2(K: Array, axis_name: Optional[str]):
     The first pass carries a shift ~s*eps*||G|| so the Cholesky succeeds
     for cond(K) up to ~1/eps (CholeskyQR2's unshifted limit is
     cond^2 < 1/eps — measured overflow for the s=30 Newton basis in
-    f32); the two clean-up passes restore orthonormality to machine eps.
+    f32); the clean-up passes restore orthonormality to machine eps.
+
+    The THIRD pass is adaptive on a single device: pass 2's triangular
+    factor measures exactly how far pass 1's output was from orthonormal
+    (Q1 = L2 @ Q2 with Q2 orthonormal, so cond(Q1) = cond(L2)), and the
+    pass-2 output's orthonormality error is ~ s*eps*cond(L2)^2 — when
+    cond(L2) <= 4 that is already <= ~6e-5 in f32 and the third pass
+    (one Gram read + one triangular-solve pass over the (s, n) panel,
+    ~5-6 ms at 8M dof, measured) buys nothing. ``lax.cond`` executes
+    only the taken branch at runtime (measured, tools/tpu_r4_stage5.py).
+    On a mesh the third pass always runs: its Gram psum must not sit
+    inside a conditional branch.
     """
     s = K.shape[0]
     eps = jnp.finfo(K.dtype).eps
@@ -208,8 +229,27 @@ def _cholqr2(K: Array, axis_name: Optional[str]):
 
     Q1, L1 = _pass(K, 4 * s * eps)
     Q2, L2 = _pass(Q1, eps)
-    Q3, L3 = _pass(Q2, eps)
-    return Q3, _mm(_mm(L1, L2), L3)  # K = (L1 L2 L3) Q3
+    if axis_name is not None:
+        Q3, L3 = _pass(Q2, eps)
+        return Q3, _mm(_mm(L1, L2), L3)  # K = (L1 L2 L3) Q3
+    # cond_F(L2) = ||L2||_F ||L2^-1||_F >= cond_2(L2) — a conservative
+    # (over-)estimate, so borderline cases still take the third pass.
+    # NaN compares False -> skip: pass 3 cannot repair a collapsed panel
+    # anyway, and the restart stall-guard owns that case.
+    L2inv = jax.scipy.linalg.solve_triangular(
+        L2, jnp.eye(s, dtype=K.dtype), lower=True
+    )
+    cond_f = jnp.linalg.norm(L2) * jnp.linalg.norm(L2inv)
+
+    def _third(_):
+        Q3, L3 = _pass(Q2, eps)
+        return Q3, _mm(L2, L3)
+
+    def _skip(_):
+        return Q2, L2
+
+    Qf, L23 = lax.cond(cond_f > _QR3_COND_SKIP, _third, _skip, None)
+    return Qf, _mm(L1, L23)
 
 
 def ca_gmres(
@@ -295,12 +335,14 @@ def ca_gmres(
         r = residual(c.x)
         beta = jnp.sqrt(dot(r, r, axis_name))
 
-        Q = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(safe_div(r, beta))
-        Z = jnp.zeros((m, n), dtype=dtype)  # the update directions
+        q0 = safe_div(r, beta)
+        Q = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(q0)
         AZc = jnp.zeros((m, m + 1), dtype=dtype)  # coords of A·Z over Q
+        zblocks = []  # update directions, concatenated once at the end
+        q_last = q0  # last orthonormal vector = seed of the next block
 
         for j in range(t):  # static unroll over blocks
-            v = Q[j * s]
+            v = q_last
             # 1. basis powers u_i (s matvecs, ZERO reductions):
             #    newton: u_{i+1} = [(Op - re_i) u_i + imsq_i u_{i-1}] / g_i
             #    (imsq_i = Im(theta)^2 on the second member of a conjugate
@@ -315,24 +357,30 @@ def ca_gmres(
             # with s static the unrolled form keeps each u_i as its own
             # 32 MB value and pays the (s, n) write ONCE at the stack.
             u_prev, u = jnp.zeros_like(v), v
-            ws = []
+            ws, d2l = [], []
             for i in range(s):
                 w = (op(u) - sh_re[i] * u + sh_imsq[i] * u_prev) / sh_gamma[i]
                 ws.append(w)
+                # per-step LOCAL partial norm: fuses into w's producer
+                # (w is live in VMEM at this point), replacing the old
+                # separate d2 = sum(P0*P0, axis=1) read of the full
+                # (s, n) stack — still exactly ONE psum per block below
+                d2l.append(jnp.sum(w * w))
                 u_prev, u = u, w
-            P0 = jnp.stack(ws)  # (s, n)
 
-            # exact norm equilibration (one extra psum per block): the
-            # static gammas only bound growth to the Ritz-interval
-            # ESTIMATE; the residual per-vector scale disparity still
-            # overflows CholeskyQR2's cond^2 < 1/eps limit in f32 at
-            # s=30. Normalize each generated vector exactly and fold the
-            # norms into the recurrence coefficients below.
-            d2 = jnp.sum(P0 * P0, axis=1)
+            # exact norm equilibration (one psum per block): the static
+            # gammas only bound growth to the Ritz-interval ESTIMATE; the
+            # residual per-vector scale disparity still overflows
+            # CholeskyQR2's cond^2 < 1/eps limit in f32 at s=30.
+            # Normalize each generated vector exactly and fold the norms
+            # into the recurrence coefficients below. The row scaling is
+            # folded into the ONE (s, n) stack write (each w_i is still a
+            # live SSA value), not a separate read+write pass.
+            d2 = jnp.stack(d2l)
             if axis_name is not None:
                 d2 = lax.psum(d2, axis_name)
             d = jnp.maximum(jnp.sqrt(d2), jnp.finfo(dtype).tiny)  # (s,)
-            P0 = P0 / d[:, None]
+            P0 = jnp.stack([ws[i] * (1.0 / d[i]) for i in range(s)])
             # dd[i] = ||u_i|| with u_0 = v already unit norm
             dd = jnp.concatenate([jnp.ones((1,), dtype=dtype), d])
             # Op u_i/dd[i] = g_i*(dd[i+1]/dd[i]) u_{i+1}/dd[i+1]
@@ -342,25 +390,32 @@ def ca_gmres(
                 [jnp.ones((1,), dtype=dtype), dd[:-2]]
             ) / dd[:s]
 
-            # 2. BCGS2 against the running basis (zero-padded rows of Q
-            #    contribute zero projections, so no masking is needed)
-            C1 = _mm(P0, Q.T)
+            # 2. BCGS2 against the LIVE prefix of the running basis —
+            #    rows 0..j*s of Q; j is a static Python index, so the
+            #    slice is free. Projecting against the full (m+1, n)
+            #    buffer reads the zero-padded rows too: at t=1 that is
+            #    31 rows streamed where ONE is live (~4 ms/cycle of pure
+            #    zero traffic at 8M dof, measured in the stage-6 BCGS2
+            #    component).
+            rows = j * s + 1
+            Qlive = Q[:rows]
+            C1 = _mm(P0, Qlive.T)  # (s, rows)
             if axis_name is not None:
                 C1 = lax.psum(C1, axis_name)
-            P1 = P0 - _mm(C1, Q)
-            C2 = _mm(P1, Q.T)
+            P1 = P0 - _mm(C1, Qlive)
+            C2 = _mm(P1, Qlive.T)
             if axis_name is not None:
                 C2 = lax.psum(C2, axis_name)
-            P2 = P1 - _mm(C2, Q)
+            P2 = P1 - _mm(C2, Qlive)
             Qnew, L = _cholqr2(P2, axis_name)  # P2 = L @ Qnew
+            q_last = Qnew[s - 1]
 
-            Q = lax.dynamic_update_slice(Q, Qnew, (j * s + 1, 0))
+            Q = lax.dynamic_update_slice(Q, Qnew, (rows, 0))
             # coords of u_1..u_s over the (now extended) basis:
             # P0 = (C1 + C2) @ Q_old + L @ Q_new
-            T = C1 + C2
-            T = lax.dynamic_update_slice(
-                T, L, (0, j * s + 1)
-            )  # (s, m+1)
+            T = jnp.zeros((s, m + 1), dtype=dtype)
+            T = lax.dynamic_update_slice(T, C1 + C2, (0, 0))
+            T = lax.dynamic_update_slice(T, L, (0, rows))  # (s, m+1)
 
             # Op acts on Z_block = [u_0, u_1, ..., u_{s-1}] (now the
             # NORMALIZED u_i; u_0 = v). By the scaled shifted recurrence
@@ -381,8 +436,13 @@ def ca_gmres(
                 - q_eff[:, None] * Uc_prev
             )
 
-            Zblock = jnp.concatenate([v[None, :], P0[: s - 1]], axis=0)
-            Z = lax.dynamic_update_slice(Z, Zblock, (j * s, 0))
+            # Z rows are [v, u_1..u_{s-1}] — collected as SSA values and
+            # concatenated straight into the y @ Z matmul at the end (the
+            # old carried (m, n) Z buffer paid an extra full-copy pass
+            # per block via dynamic_update_slice)
+            zblocks.append(v[None, :])
+            if s > 1:
+                zblocks.append(P0[: s - 1])
             AZc = lax.dynamic_update_slice(AZc, Tz, (j * s, 0))
 
         # 3. projected LS over the orthonormal coordinates:
@@ -429,6 +489,7 @@ def ca_gmres(
         y0 = _ls(jnp.asarray(ridge, dtype))
         y1 = _ls(jnp.asarray(jnp.sqrt(eps), dtype))
         y = jnp.where(jnp.all(jnp.isfinite(y0)), y0, y1)
+        Z = jnp.concatenate(zblocks, axis=0)  # (m, n)
         update = _mm(y, Z)
         if side == "right":
             update = apply_M(update)
