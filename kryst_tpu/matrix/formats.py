@@ -33,6 +33,13 @@ _DENSE_BYTES_CAP = 192 << 20
 _BREAKEVEN_BYTES = 5000
 
 
+class ELLPlanTooLarge(ValueError):
+    """Raised when the padded ELL plan exceeds its byte cap (long-tailed
+    row-degree distributions pad every row to the widest one). Callers
+    that want a fallback catch THIS, not bare ValueError — other
+    ValueErrors (bad shapes, dtypes) must propagate."""
+
+
 def scipy_to_ell(A, dtype, max_bytes: int = 2 << 30):
     """scipy CSR -> ELLOperator (zero-padded rows, int32 columns).
 
@@ -50,7 +57,7 @@ def scipy_to_ell(A, dtype, max_bytes: int = 2 << 30):
     n = A.shape[0]
     plan_bytes = n * k * (np.dtype(dtype).itemsize + 4)
     if plan_bytes > max_bytes:
-        raise ValueError(
+        raise ELLPlanTooLarge(
             f"ELL plan is {plan_bytes/2**30:.1f} GiB (n={n} x max row "
             f"width {k}): a long-tailed row distribution pads every row "
             "to the widest one. Use the cell layout "
@@ -97,15 +104,19 @@ def pick_unstructured(A, dtype, need_rmatvec: bool = True):
             return op
     try:
         return scipy_to_ell(A, dtype)
-    except ValueError:
+    except ELLPlanTooLarge:
         # ELL plan over the memory cap (long-tailed rows) and the cell
         # cost model declined: cells is still the only SAFE format —
         # force-build it rather than crash the TPU worker on a runaway
-        # padded plan
+        # padded plan. The forced plan keeps an ABSOLUTE byte cap (the
+        # same 2 GiB budget ELL was held to) expressed as a pad ratio,
+        # so a pathological matrix still fails loudly instead of
+        # building a worker-killing plan.
         from kryst_tpu.ops.cellspmv import scipy_to_cells
 
+        cap_ratio = max(8.0, (2 << 30) / (max(nnz, 1) * (itemsize + 4)))
         return scipy_to_cells(
             A, dtype=dtype,
             transpose="auto" if need_rmatvec else "never",
-            max_pad_ratio=1e9,
+            max_pad_ratio=cap_ratio,
         )

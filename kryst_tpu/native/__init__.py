@@ -302,6 +302,11 @@ def csr_to_dia_fill(indptr, indices, data, n: int, max_offsets: int,
     out_dtype = np.dtype(out_dtype)
     if out_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
         return None
+    if n <= 0:
+        # the native impls size a scratch vector 2*n-1; n=0 would
+        # underflow to a huge size_t and abort inside the ctypes call —
+        # let the numpy path handle degenerate shapes
+        return None
     lib = get_lib()
     if lib is None:
         return None

@@ -561,6 +561,7 @@ namespace {
 template <typename I>
 int64_t dia_offsets_impl(int64_t n, const I* indptr, const I* indices,
                          int64_t cap, int64_t* offs_out) {
+  if (n <= 0) return 0;  // 2*n-1 would underflow the vector size below
   std::vector<uint8_t> seen(2 * n - 1, 0);
   for (int64_t i = 0; i < n; ++i)
     for (int64_t t = indptr[i]; t < indptr[i + 1]; ++t)
@@ -578,6 +579,7 @@ template <typename I, typename F>
 void csr_to_dia_impl(int64_t n, const I* indptr, const I* indices,
                      const double* data, int64_t noffs, const int64_t* offs,
                      F* out) {
+  if (n <= 0) return;  // 2*n-1 would underflow the vector size below
   // d -> diagonal slot; int32 is enough (noffs <= max_offsets << 2^31)
   std::vector<int32_t> lut(2 * n - 1, -1);
   for (int64_t k = 0; k < noffs; ++k) lut[offs[k] + n - 1] = (int32_t)k;

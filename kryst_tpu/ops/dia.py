@@ -81,6 +81,25 @@ class DIAOperator:
     cs_pallas: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Flat (ndiag*n,) copy of ``data`` for the XLA shifted-slice paths.
+    # Why (round-5 root cause of the "8x PCG regression", VERDICT r4):
+    # when the operator crosses a jit boundary as an ARGUMENT, the 2-D
+    # (ndiag, n) panel parameter gets an 8-sublane tiled layout
+    # T(8,128), and slicing one diagonal row out of it reads 8x its
+    # bytes — 192 vs 24 us/iter on the 1M PCG+Jacobi loop (measured,
+    # tools/tpu_r5_stage{1..5}.py). A 1-D parameter keeps a dense
+    # T(1024) layout; its per-diagonal slices fuse as views and the
+    # loop runs at the closure-form (HLO-constant) speed. Populated at
+    # construction whenever the XLA form is the primary matvec path.
+    data_flat: object = None  # Optional[Array] (ndiag*n,)
+    # Hoisted per-diagonal row views (tuple of (n,) arrays), produced by
+    # :meth:`prepare` at TRACE TIME just before a solver's while_loop:
+    # slicing ``data_flat`` inside the loop body still costs ~2x
+    # (39-47 us/iter vs 15-24 hoisted, tools/tpu_r5_stage{4,5}.py)
+    # because the slices re-materialize per iteration; slices traced
+    # OUTSIDE the loop are computed once and ride the carry as
+    # invariants. Never populated at construction — solver-local.
+    data_rows: object = None  # Optional[Tuple[Array, ...]]
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -123,6 +142,7 @@ class DIAOperator:
             self.data, self.offsets, self.n, jnp.asarray(dblk), plan,
             self.at, self.symmetric,
             self.cs_coeffs, self.cs_deltas, self.cs_grid, self.cs_pallas,
+            data_flat=self.data_flat,
         )
 
     def _resident(self) -> bool:
@@ -133,6 +153,36 @@ class DIAOperator:
         round-trip and LOSE (44 us vs 17 us per SpMV at 1M dof, measured)."""
         ws = (len(self.offsets) + 3) * self.n * self.data.dtype.itemsize
         return ws <= 96 * 1024 * 1024
+
+    def _xla_rows(self):
+        """Per-diagonal coefficient rows for the XLA shifted-slice paths.
+
+        Returns the hoisted row views when :meth:`prepare` ran, else
+        dense 1-D slices of ``data_flat`` when present (see the field
+        comment: a 2-D panel ARGUMENT is sublane-tiled and row slices
+        read 8x their bytes), else the 2-D panel — all index as
+        ``rows[k]`` so every XLA-form kernel takes any of them."""
+        if self.data_rows is not None:
+            return self.data_rows
+        if self.data_flat is not None:
+            n = self.n
+            return tuple(
+                lax.slice(self.data_flat, (k * n,), ((k + 1) * n,))
+                for k in range(len(self.offsets))
+            )
+        return self.data
+
+    def prepare(self) -> "DIAOperator":
+        """Hoist the per-diagonal row views out of the caller's loop.
+
+        Solvers call this ONCE at entry (trace time, before their
+        while_loop) so every in-loop matvec reuses the same slices —
+        the difference between 15-24 and 39-47 us/iter on the 1M PCG
+        loop (tools/tpu_r5_stage{4,5}.py). Idempotent; a no-op for
+        operators without ``data_flat``."""
+        if self.data_flat is None or self.data_rows is not None:
+            return self
+        return dataclasses.replace(self, data_rows=self._xla_rows())
 
     def matvec(self, x: Array) -> Array:
         # All paths are gather-free. Policy (measured on v5e):
@@ -156,9 +206,9 @@ class DIAOperator:
                 return const_spmv_xla(
                     self.cs_coeffs, self.cs_deltas, self.cs_grid, x
                 )
-            return dia_spmv_xla(self.data, self.offsets, x)
+            return dia_spmv_xla(self._xla_rows(), self.offsets, x)
         if self._resident() and len(self.offsets) <= 8:
-            return dia_spmv_xla(self.data, self.offsets, x)
+            return dia_spmv_xla(self._xla_rows(), self.offsets, x)
         from kryst_tpu.ops.streamed import dia_spmv_planned, dia_spmv_streamed
 
         if self.data_blk is not None:
@@ -226,7 +276,7 @@ class DIAOperator:
                 return jnp.stack(
                     [self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1
                 )
-        return dia_spmv_xla_block(self.data, self.offsets, X)
+        return dia_spmv_xla_block(self._xla_rows(), self.offsets, X)
 
     def matvec_cols(self, Xk: Array) -> Array:
         """A @ X with X supplied as (k, n) ROWS-of-columns, returning (k, n).
@@ -259,7 +309,7 @@ class DIAOperator:
             return dia_spmv_planned_cols(
                 self.data_blk, self.offsets, Xk, self.plan
             )
-        return dia_spmv_xla_cols(self.data, self.offsets, Xk)
+        return dia_spmv_xla_cols(self._xla_rows(), self.offsets, Xk)
 
     def inter_ok(self, k: int = 1) -> bool:
         """Whether the block-interleaved carrier path applies: a planned
@@ -302,17 +352,19 @@ class DIAOperator:
         # A^T in DIA: diagonal d of A^T at offset -d, shifted by d:
         # A^T[i, i-d] = A[i-d, i] = data[d, i-d]
         n = self.n
+        rows = self._xla_rows()
         data_t = []
         for k, off in enumerate(self.offsets):
-            row = self.data[k]
+            row = rows[k]
             if off >= 0:
                 shifted = jnp.concatenate([jnp.zeros(off, row.dtype), row[: n - off]])
             else:
                 shifted = jnp.concatenate([row[-off:], jnp.zeros(-off, row.dtype)])
             data_t.append(shifted)
-        data_t = jnp.stack(data_t)
+        # keep the per-diagonal 1-D forms (tuple) — stacking to 2-D here
+        # would materialize a tiled panel inside jit for nothing
         offs_t = tuple(-o for o in self.offsets)
-        return dia_spmv_xla(data_t, offs_t, x)
+        return dia_spmv_xla(tuple(data_t), offs_t, x)
 
     def matvec_dot(self, p: Array):
         """(A p, <p, A p>) — the capability hook the CG solvers probe for.
@@ -373,7 +425,7 @@ class DIAOperator:
 
     def diagonal(self) -> Array:
         if 0 in self.offsets:
-            return self.data[self.offsets.index(0)]
+            return self._xla_rows()[self.offsets.index(0)]
         return jnp.zeros(self.n, dtype=self.data.dtype)
 
     def todense(self) -> Array:
@@ -389,7 +441,8 @@ class DIAOperator:
 
 register_dataclass(
     DIAOperator,
-    data_fields=["data", "data_blk", "at", "cs_coeffs"],
+    data_fields=["data", "data_blk", "at", "cs_coeffs", "data_flat",
+                 "data_rows"],
     meta_fields=["offsets", "n", "plan", "symmetric", "cs_deltas", "cs_grid",
                  "cs_pallas"],
 )
@@ -674,6 +727,15 @@ def _make_dia(
     offsets = tuple(int(o) for o in offsets)
     op = DIAOperator(jnp.asarray(data), offsets, n)
     streaming = (not op._resident() or len(offsets) > 8) and data.dtype.itemsize < 8
+    # Whenever the XLA shifted-slice form is the primary matvec (all
+    # non-streaming dispatches), also upload the panel FLAT: a 2-D panel
+    # crossing a jit boundary as an argument is sublane-tiled and row
+    # slices read 8x their bytes (the round-5 "PCG regression" — see the
+    # data_flat field comment). Capped so a huge f64 panel does not
+    # double its HBM footprint for a path that craters anyway.
+    flat = None
+    if not streaming and data.nbytes <= (512 << 20):
+        flat = jnp.asarray(np.asarray(data).reshape(-1))
     symmetric = transpose == "symmetric"
     at = None
     if transpose == "auto" or transpose is True:
@@ -728,5 +790,5 @@ def _make_dia(
         )
     return DIAOperator(
         op.data, offsets, n, None, None, at, symmetric,
-        cs_coeffs, cs_deltas, cs_grid, cs_pallas,
+        cs_coeffs, cs_deltas, cs_grid, cs_pallas, data_flat=flat,
     )

@@ -288,7 +288,15 @@ class GMGPC:
         THE DEVICE by exact stencil probing of P^T A P through the
         V-cycle's own transfer kernels (pc/rap_probe.py) — same Galerkin
         operators (in the level dtype's arithmetic), no host SpGEMM and
-        no coarse-panel uploads (the dominant 8M setup costs).
+        no coarse-panel uploads (the dominant 8M setup costs). One
+        precision caveat: the bottom-level dense inverse is computed (in
+        f64 arithmetic) from the f32-rounded device-probed panel, while
+        "host" inverts the f64 scipy RAP — the probe coarse solve
+        therefore carries an f32 DATA floor (values, not arithmetic).
+        Irrelevant as a preconditioner (the outer Krylov/refinement loop
+        absorbs it — 8M refined-solve parity is 208 vs 209 inner
+        iterations); pick rap="host" if the exact-f64 hierarchy itself
+        is the product.
         """
         if rap not in ("host", "probe"):
             raise ValueError(f"rap must be 'host' or 'probe', got {rap!r}")

@@ -292,7 +292,12 @@ def build_coarse_operator(
             data_t, offsets_t, n, False, blk_dtype=blk_dtype
         )
     if not streaming:
-        return DIAOperator(data, offsets, n, None, None, at, symmetric)
+        # flat twin for the XLA shifted-slice path (see DIAOperator.
+        # data_flat): device reshape, one relayout copy at setup time
+        return DIAOperator(
+            data, offsets, n, None, None, at, symmetric,
+            data_flat=data.reshape(-1),
+        )
     if blk_dtype is None and data.dtype == jnp.float32:
         exact = bool(
             jax.jit(

@@ -126,6 +126,33 @@ def replay_monitor(monitor, stats) -> int:
     return count
 
 
+def prepare_loop(tree):
+    """Trace-time hoist of DIA coefficient-row views over an operator or
+    preconditioner pytree — call at solver entry, BEFORE the while_loop.
+
+    Why: a (ndiag, n) DIA panel crossing a jit boundary as an ARGUMENT
+    is sublane-tiled and its in-loop row slices read 8x their bytes
+    (the round-5 "8x PCG regression", tools/tpu_r5_stage{1..5}.py).
+    ``DIAOperator.prepare`` hoists dense row views of the flat panel
+    out of the loop; this maps it over any pytree (PC states hold DIA
+    level operators). Non-DIA leaves and callables pass through."""
+    from kryst_tpu.ops.dia import DIAOperator
+
+    def _is_dia(x):
+        return isinstance(x, DIAOperator)
+
+    if tree is None:
+        return None
+    if _is_dia(tree):
+        return tree.prepare()
+    try:
+        return jax.tree_util.tree_map(
+            lambda x: x.prepare() if _is_dia(x) else x, tree, is_leaf=_is_dia
+        )
+    except Exception:
+        return tree  # not a pytree (e.g. a bare callable PC): unchanged
+
+
 def default_x0(b, x0):
     return jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 

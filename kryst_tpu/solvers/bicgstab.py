@@ -24,8 +24,7 @@ from kryst_tpu.solvers._common import (
     init_history,
     push_history,
     safe_div,
-    use_true_residual,
-)
+    use_true_residual, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -63,7 +62,8 @@ def bicgstab(
     stats from it; ``None`` auto-enables below f64 (see
     :func:`kryst_tpu.solvers.cg.cg`).
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     maxiter = b.shape[0] * 2 if maxiter is None else maxiter

@@ -39,6 +39,7 @@ from jax import Array, lax
 
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
+from kryst_tpu.solvers._common import prepare_loop
 
 
 def _mm(a, b):
@@ -155,7 +156,8 @@ def block_pcg(
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k), got {B.shape}")
-    A = as_operator(A, dtype=B.dtype)
+    A = prepare_loop(as_operator(A, dtype=B.dtype))
+    M = prepare_loop(M)
     n, k = B.shape
     eps = float(jnp.finfo(B.dtype).eps)
 
@@ -170,6 +172,14 @@ def block_pcg(
         raise ValueError(
             "inter=True supports only M=None or JacobiPC (other PCs "
             "need the (k, n) layout; pass inter=False)"
+        )
+    if inter and axis_name is not None:
+        raise ValueError(
+            "inter=True is single-device only: the carrier kernels "
+            "(carrier_gram / matvec_inter) compute shard-local Grams "
+            "with no psum, so a sharded run would silently produce "
+            "wrong alpha/beta and false convergence. Pass inter=False "
+            "for sharded block solves."
         )
     if inter and getattr(A, "plan", None) is None:
         raise ValueError(

@@ -33,6 +33,7 @@ from jax import Array, lax
 
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
+from kryst_tpu.solvers._common import prepare_loop
 from kryst_tpu.solvers.block_cg import matvec_cols
 from kryst_tpu.solvers.ca_gmres import _cholqr2, _mm
 
@@ -69,7 +70,8 @@ def block_gmres(
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k), got {B.shape}")
-    A = as_operator(A, dtype=B.dtype)
+    A = prepare_loop(as_operator(A, dtype=B.dtype))
+    M = prepare_loop(M)
     n, k = B.shape
     m = restart
     if side not in ("right", "none"):

@@ -57,7 +57,7 @@ from jax import Array, lax
 
 from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
-from kryst_tpu.solvers._common import default_x0, dot, init_history, safe_div
+from kryst_tpu.solvers._common import default_x0, dot, init_history, safe_div, prepare_loop
 
 
 # Orthogonalization panels / Gram matrices need full f32 products: TPU's
@@ -286,7 +286,8 @@ def ca_gmres(
     pca_gmres.rs:136-229). ``"monomial"`` is the zero-shift special case
     (the reference's basis, pca_gmres.rs:141-159).
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     m = restart

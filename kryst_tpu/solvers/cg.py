@@ -30,6 +30,7 @@ from kryst_tpu.core.convergence import Breakdown, NormType, make_stats
 from kryst_tpu.core.linop import as_operator
 from kryst_tpu.solvers._common import (
     default_x0,
+    prepare_loop,
     emit_monitor,
     dot,
     fused_dots,
@@ -97,7 +98,7 @@ def cg(
             "trust-region radius is only implemented for the standard "
             "recurrence; use single_reduction=False"
         )
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]
@@ -284,7 +285,8 @@ def pcg(
     (in the solver's ``norm_type``) and report stats from it; ``None``
     auto-enables below f64 (see :func:`cg`).
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]

@@ -24,8 +24,7 @@ from kryst_tpu.solvers._common import (
     dot,
     init_history,
     push_history,
-    safe_div,
-)
+    safe_div, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -53,7 +52,7 @@ def cgnr(
     axis_name: Optional[str] = None,
 ):
     """CG on AᵀA x = Aᵀ b. Converges on ||Aᵀr|| (the normal-equation residual)."""
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     nrows, ncols = A.shape if hasattr(A, "shape") else (b.shape[0], b.shape[0])
     x = jnp.zeros(ncols, dtype=b.dtype) if x0 is None else jnp.asarray(x0)
@@ -116,7 +115,7 @@ def cgne(
     axis_name: Optional[str] = None,
 ):
     """Craig's method: CG on AAᵀ y = b with x = Aᵀ y. Converges on ||r||."""
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     nrows, ncols = A.shape if hasattr(A, "shape") else (b.shape[0], b.shape[0])
     x = jnp.zeros(ncols, dtype=b.dtype) if x0 is None else jnp.asarray(x0)

@@ -39,6 +39,7 @@ from kryst_tpu.core.convergence import Breakdown, make_stats
 from kryst_tpu.core.linop import as_operator
 from kryst_tpu.solvers._common import (
     default_x0,
+    prepare_loop,
     dot,
     emit_monitor,
     init_history,
@@ -350,7 +351,8 @@ def gmres(
     """
     if side not in ("left", "right", "none"):
         raise ValueError(f"side must be left/right/none, got {side!r}")
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M) if not callable(M) else M
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]
@@ -520,7 +522,8 @@ def fgmres(
     The z-basis is stored explicitly (fgmres.rs:207-211) since a varying M
     admits no recomputation trick.
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M) if not callable(M) else M
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     n = b.shape[0]

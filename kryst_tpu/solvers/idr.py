@@ -47,8 +47,7 @@ from kryst_tpu.solvers._common import (
     init_history,
     push_history,
     safe_div,
-    use_true_residual,
-)
+    use_true_residual, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -120,7 +119,8 @@ def idr(
     paper value). ``shadow`` optionally supplies the (n_local, s) shadow
     basis explicitly (tests; deterministic cross-mesh comparisons).
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M)
     b = jnp.asarray(b)
     n = b.shape[0]
     x = default_x0(b, x0)

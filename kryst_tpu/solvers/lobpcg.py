@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from kryst_tpu.core.linop import as_operator
+from kryst_tpu.solvers._common import prepare_loop
 from kryst_tpu.utils.smalleig import jacobi_eigh
 
 
@@ -72,7 +73,8 @@ def lobpcg(
     Laplacian. Convergence: ``||A x_j - w_j x_j|| <= tol * max(|w_j|, 1)``
     for every pair.
     """
-    A = as_operator(A, dtype=jnp.asarray(X0).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(X0).dtype))
+    M = prepare_loop(M)
     X0 = jnp.asarray(X0)
     n, k = X0.shape
     eps = jnp.finfo(X0.dtype).eps

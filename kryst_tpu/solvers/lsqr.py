@@ -30,8 +30,7 @@ from kryst_tpu.solvers._common import (
     dot,
     init_history,
     push_history,
-    safe_div,
-)
+    safe_div, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -69,7 +68,7 @@ def lsqr(
     when either ||r|| <= max(tol*||b||, atol) (consistent systems) or
     ||Aᵀ r|| <= tol*||A||*||r|| (least-squares criterion).
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     nrows, ncols = A.shape if hasattr(A, "shape") else (b.shape[0], b.shape[0])
     x = jnp.zeros(ncols, dtype=b.dtype) if x0 is None else jnp.asarray(x0)

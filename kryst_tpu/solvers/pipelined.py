@@ -30,8 +30,7 @@ from kryst_tpu.solvers._common import (
     fused_dots,
     init_history,
     push_history,
-    safe_div,
-)
+    safe_div, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -81,7 +80,8 @@ def pipecg(
     honest. For rtol below the f32 floor use
     :func:`kryst_tpu.solvers.refine.refined_solve`.
     """
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
+    M = prepare_loop(M)
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     maxiter = b.shape[0] if maxiter is None else maxiter

@@ -25,8 +25,7 @@ from kryst_tpu.solvers._common import (
     dot,
     init_history,
     push_history,
-    safe_div,
-)
+    safe_div, prepare_loop)
 
 
 class _Carry(NamedTuple):
@@ -63,7 +62,7 @@ def qmr(
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
-    A = as_operator(A, dtype=jnp.asarray(b).dtype)
+    A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     b = jnp.asarray(b)
     x = default_x0(b, x0)
     maxiter = b.shape[0] * 2 if maxiter is None else maxiter
