@@ -395,6 +395,36 @@ class DIAOperator:
         y = self.matvec(p)
         return y, jnp.sum(p * y)
 
+    def matvec_shift(self, u: Array, u_prev: Array, re, imsq, inv_gamma):
+        """Fused CA-GMRES Newton-basis step:
+        ``w = (A u - re*u + imsq*u_prev) * inv_gamma`` and ``sum(w*w)``.
+
+        On the beyond-VMEM planned path this is ONE kernel pass (the
+        shift epilogue + norm accumulate ride the SpMV stream — the
+        separate XLA pass reads A u + u + u_prev and writes w, ~128 MB
+        per basis step at 8M dof). Everywhere else it is the plain XLA
+        form, where the elementwise chain fuses anyway. The scalars may
+        be traced device values."""
+        if (
+            not _on_cpu()
+            and not self._resident()
+            and self.data.dtype.itemsize < 8
+            and self.data_blk is not None
+        ):
+            from kryst_tpu.ops.streamed import dia_spmv_planned
+
+            sc = jnp.stack([
+                jnp.asarray(re, u.dtype),
+                jnp.asarray(imsq, u.dtype),
+                jnp.asarray(inv_gamma, u.dtype),
+            ]).reshape(1, 3)
+            return dia_spmv_planned(
+                self.data_blk, self.offsets, u, self.plan,
+                with_dot=True, shift_prev=u_prev, shift_scalars=sc,
+            )
+        w = (self.matvec(u) - re * u + imsq * u_prev) * inv_gamma
+        return w, jnp.sum(w * w)
+
     def smooth_jacobi(self, z: Array, r: Array, dinv: Array, omega) -> Array:
         """One damped-Jacobi step z + omega*dinv*(r - A z), fused into the
         streaming kernel's epilogue on the beyond-VMEM path (one HBM pass

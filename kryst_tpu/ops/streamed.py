@@ -146,15 +146,19 @@ def plan_dia(
     return np.ascontiguousarray(d), plan
 
 
-def _streamed_kernel(offsets, bm, margin, with_dot, smooth_omega, *refs):
+def _streamed_kernel(offsets, bm, margin, with_dot, smooth_omega, shifted,
+                     *refs):
     import jax.experimental.pallas as pl
     import jax.lax as lax_
     from jax.experimental.pallas import tpu as pltpu
 
-    # ref layout: x, d [, r, dinv] -> out [, dot]
+    # ref layout: x, d [, r, dinv | up, sc] -> out [, dot]
     x_ref, d_ref = refs[0], refs[1]
     if smooth_omega is not None:
         r_ref, di_ref = refs[2], refs[3]
+        o_ref, rest = refs[4], refs[5:]
+    elif shifted:
+        up_ref, sc_ref = refs[2], refs[3]
         o_ref, rest = refs[4], refs[5:]
     else:
         o_ref, rest = refs[2], refs[3:]
@@ -183,17 +187,32 @@ def _streamed_kernel(offsets, bm, margin, with_dot, smooth_omega, *refs):
         # for the strided (ndiag, bm, 128) block DMA, measured).
         term = d_ref[k * bm : (k + 1) * bm] * Y
         acc = term if acc is None else acc + term
+    xdot = None
     if smooth_omega is not None:
         # fused damped-Jacobi epilogue: out = x + omega * dinv * (r - A x).
         # Saves the separate elementwise HBM pass a pallas_call boundary
         # would otherwise force on the smoothing update (VERDICT r2 item 2).
         xc = W0[margin : margin + bm]
         o_ref[...] = xc + smooth_omega * di_ref[...] * (r_ref[...] - acc)
+    elif shifted:
+        # fused shifted-recurrence epilogue (CA-GMRES Newton basis):
+        # out = (A x - re * x + imsq * x_prev) * inv_gamma — the basis
+        # step in the SAME pass as the SpMV (the separate XLA pass reads
+        # A x + x + x_prev and writes w: ~128 MB/step at 8M dof).
+        # Scalars ride SMEM because they are per-step TRACED values
+        # (Newton shifts are computed on device).
+        xc = W0[margin : margin + bm]
+        out = (acc - sc_ref[0, 0] * xc + sc_ref[0, 1] * up_ref[...]) * sc_ref[0, 2]
+        o_ref[...] = out
+        # with_dot below then accumulates sum(w*w) — the basis step's
+        # equilibration norm — instead of <x, A x>
+        acc = out
+        xdot = out
     else:
         o_ref[...] = acc
     if with_dot:
         acc_ref = rest[0]
-        xc = W0[margin : margin + bm]
+        xc = xdot if xdot is not None else W0[margin : margin + bm]
         partial = jnp.sum(xc * acc)
 
         @pl.when(i == 0)
@@ -750,7 +769,7 @@ def carrier_gram(
 
 
 def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
-                 smooth=None):
+                 smooth=None, shift=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -760,7 +779,8 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
     isz = Xw.dtype.itemsize
     omega = None if smooth is None else smooth[2]
     kern = functools.partial(
-        _streamed_kernel, offsets, bm, margin, with_dot, omega
+        _streamed_kernel, offsets, bm, margin, with_dot, omega,
+        shift is not None,
     )
     out_shape = [jax.ShapeDtypeStruct((nb * bm, 128), Xw.dtype)]
     out_specs = [
@@ -806,6 +826,17 @@ def _call_kernel(offsets, bm, margin, with_dot, interpret, Xw, Dw, nb,
             )
             args.append(extra)
         vmem_bytes += 4 * bm * 128 * isz  # double-buffered r + dinv blocks
+    if shift is not None:
+        UPw, SC = shift
+        in_specs.append(
+            pl.BlockSpec((bm, 128), lambda i: (i, z), memory_space=pltpu.VMEM)
+        )
+        args.append(UPw)
+        in_specs.append(
+            pl.BlockSpec((1, 3), lambda i: (z, z), memory_space=pltpu.SMEM)
+        )
+        args.append(SC)
+        vmem_bytes += 2 * bm * 128 * isz  # double-buffered u_prev block
     res = pl.pallas_call(
         kern,
         grid=(nb,),
@@ -837,6 +868,8 @@ def dia_spmv_planned(
     smooth_r: Optional[Array] = None,
     smooth_dinv: Optional[Array] = None,
     smooth_omega: Optional[float] = None,
+    shift_prev: Optional[Array] = None,
+    shift_scalars: Optional[Array] = None,
     interpret: bool = False,
     x_budget_bytes: Optional[int] = None,
 ):
@@ -851,6 +884,12 @@ def dia_spmv_planned(
     multigrid smoothing update in ONE pass (the pallas_call boundary
     otherwise forces the elementwise update into a separate full HBM
     pass at beyond-VMEM sizes).
+
+    ``shift_prev``/``shift_scalars`` switch it to the fused CA-GMRES
+    Newton-basis step ``(A x - re x + imsq x_prev) * inv_gamma`` — the
+    scalars as a (1, 3) DEVICE array ``[[re, imsq, inv_gamma]]`` (they
+    are traced per-step values). ``with_dot`` then returns
+    ``sum(out*out)`` (the equilibration norm) instead of ``<x, A x>``.
     """
     n = x.shape[0]
     bm, margin, mpad = plan.block_rows, plan.margin, plan.mpad
@@ -860,11 +899,17 @@ def dia_spmv_planned(
     X = jnp.pad(x, (0, npad - n)).reshape(mpad, 128)
     X = jnp.pad(X, ((margin, margin), (0, 0)))
     smoothing = smooth_omega is not None
+    shifting = shift_prev is not None
     if smoothing:
         if with_dot:
             raise ValueError("with_dot cannot combine with the smooth epilogue")
+        if shifting:
+            raise ValueError("smooth and shift epilogues are exclusive")
         R = jnp.pad(smooth_r, (0, npad - n)).reshape(mpad, 128)
         DI = jnp.pad(smooth_dinv, (0, npad - n)).reshape(mpad, 128)
+    if shifting:
+        UP = jnp.pad(shift_prev, (0, npad - n)).reshape(mpad, 128)
+        SC = jnp.asarray(shift_scalars, x.dtype).reshape(1, 3)
 
     isz = x.dtype.itemsize
     budget = x_budget_bytes or _X_VMEM_BUDGET_BYTES
@@ -883,8 +928,13 @@ def dia_spmv_planned(
             Rw = jax.lax.dynamic_slice_in_dim(R, b0 * bm, nb * bm)
             DIw = jax.lax.dynamic_slice_in_dim(DI, b0 * bm, nb * bm)
             smooth = (Rw, DIw, float(smooth_omega))
+        shift = None
+        if shifting:
+            UPw = jax.lax.dynamic_slice_in_dim(UP, b0 * bm, nb * bm)
+            shift = (UPw, SC)
         res = _call_kernel(
-            offsets, bm, margin, with_dot, interpret, Xw, Dw, nb, smooth
+            offsets, bm, margin, with_dot, interpret, Xw, Dw, nb, smooth,
+            shift,
         )
         if with_dot:
             outs.append(res[0])

@@ -46,6 +46,11 @@ from kryst_tpu.matrix.csr import CSRMatrix
 # per-step overhead to <0.1 us/level while keeping compile size modest.
 _UNROLL = 16
 
+# solve_packed statically unrolls its level blocks up to this many scan
+# steps (~_UNROLL*6 HLO ops each; 128 steps ~ 12k ops compiles fine);
+# beyond it the lax.scan form bounds compile time for huge grids
+_UNROLL_MAX_STEPS = 128
+
 
 def skew_pack(X: Array) -> Array:
     """(nx, ny) -> (nx+ny-1, nx) with out[d, i] = X[i, d - i] (else 0).
@@ -122,12 +127,17 @@ class DiagMajorTriangular2D:
     def solve_packed(self, B: Array) -> Array:
         """B: (nlev, nx) packed rhs -> packed solution.
 
-        The scan processes ``_UNROLL`` antidiagonal levels per step: each
-        level is only ~6 VPU ops on an (nx,) vector, so the per-step scan
-        overhead (~1.4 us measured at 256^2) dominates an unblocked scan
-        16-fold. Blocking amortizes it without changing the arithmetic —
-        the inner levels run sequentially in registers, same FMAs, same
-        order (still byte-comparable to sequential substitution)."""
+        Levels are processed in ``_UNROLL``-level blocks, STATICALLY
+        unrolled (a Python loop + one stack at the end) up to
+        ``_UNROLL_MAX_STEPS`` blocks, falling back to ``lax.scan`` for
+        huge grids. Why: the wavefront solve is dependency-latency
+        bound — 2*(nx+ny-1) sequential ~6-op fusions at ~0.15 us each
+        (a pure 1022-op dependency chain measures 150.6 us on this v5e,
+        tools/tpu_r5_stage7.py) — and the scan machinery DOUBLES it
+        (284.5 us scan vs 156.6 unrolled per ILU apply at 256^2: each
+        scan step pays the stacked-ys output-buffer pass, the round-4
+        finding). Identical arithmetic and order either way — the two
+        forms are bitwise-equal (asserted on-chip, stage 7)."""
         nx = self.grid[0]
         zero = jnp.zeros((1,), dtype=B.dtype)
         nlev = B.shape[0]
@@ -149,6 +159,20 @@ class DiagMajorTriangular2D:
             def substep(x, b, ca, cu, di):
                 x_ax = jnp.concatenate([x[1:], zero])  # position i+1
                 return (b - ca * x_ax - cu * x) * di
+
+        if nsteps <= _UNROLL_MAX_STEPS:
+            steps = range(nsteps) if self.lower else range(nsteps - 1, -1, -1)
+            x = jnp.zeros((nx,), dtype=B.dtype)
+            out = [None] * nsteps
+            for si in steps:
+                rows = [None] * K
+                for k in order:
+                    x = substep(x, Bb[si, k], cab[si, k], cub[si, k],
+                                dib[si, k])
+                    rows[k] = x
+                out[si] = jnp.stack(rows)
+            X = jnp.stack(out)
+            return X.reshape(nsteps * K, -1)[:nlev]
 
         def step(x, inp):
             b, ca, cu, di = inp
@@ -456,6 +480,22 @@ class DiagMajorTriangular3D:
                 xi = jnp.pad(x[1:], ((0, 1), (0, 0)))       # (i+1, j)
                 xj = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))    # (i, j+1)
                 return (b - ci * xi - cj * xj - ck * x) * di
+
+        if nsteps <= _UNROLL_MAX_STEPS:
+            # static unroll (see the 2-D twin): kills the scan's
+            # per-step stacked-output pass; bitwise-identical
+            steps = range(nsteps) if self.lower else range(nsteps - 1, -1, -1)
+            x = jnp.zeros((nx, ny), dtype=B.dtype)
+            out = [None] * nsteps
+            for si in steps:
+                rows = [None] * K
+                for k in order:
+                    x = substep(x, Bb[si, k], cib[si, k], cjb[si, k],
+                                ckb[si, k], dib[si, k])
+                    rows[k] = x
+                out[si] = jnp.stack(rows)
+            X = jnp.stack(out)
+            return X.reshape(nsteps * K, nx, ny)[:nlev]
 
         def step(x, inp):
             b, ci, cj, ck, di = inp

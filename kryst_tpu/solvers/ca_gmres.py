@@ -191,6 +191,39 @@ def _newton_shifts(op, r0, s: int, axis_name: Optional[str], dtype,
     return re, jnp.zeros(s, dtype=dtype), gamma.astype(dtype)
 
 
+def newton_shifts(A, r0=None, *, M=None, side: str = "right", s: int = 30,
+                  axis_name: Optional[str] = None):
+    """One-time Newton-basis shift setup for ``ca_gmres(shifts=...)``.
+
+    The shifts bound the (preconditioned) operator's Ritz spectrum —
+    they depend on ``(A, M, side)`` and the basis length ``s``, not on
+    the right-hand side, so compute them ONCE per operator and reuse
+    across solves (the in-solve prepass costs ~18 ms per solve at 8M
+    dof). ``r0`` seeds the 12-step Arnoldi prepass (default: ones).
+    Jittable; returns ``(re, imsq, gamma)`` device arrays."""
+    from kryst_tpu.solvers._common import prepare_loop as _prep
+
+    A = _prep(as_operator(A))
+    M = _prep(M)
+    apply_M = (lambda v: v) if M is None else M.apply
+    if M is None:
+        side = "none"
+    if side not in ("left", "right", "none"):
+        raise ValueError(f"side must be left/right/none, got {side!r}")
+
+    def op(v):
+        if side == "right":
+            return A.matvec(apply_M(v))
+        if side == "left":
+            return apply_M(A.matvec(v))
+        return A.matvec(v)
+
+    if r0 is None:
+        r0 = jnp.ones((A.shape[0],), dtype=A.dtype)
+    r0 = jnp.asarray(r0)
+    return _newton_shifts(op, r0, s, axis_name, r0.dtype)
+
+
 def _cholqr2(K: Array, axis_name: Optional[str]):
     """Shifted CholeskyQR3 (Fukaya et al. 2020): returns (Q, L) with
     K (rows) = L @ Q; one Gram reduction (psum) per pass.
@@ -266,6 +299,7 @@ def ca_gmres(
     block: Optional[int] = None,
     tau: Optional[float] = None,
     basis: str = "newton",
+    shifts=None,
     record_history: bool = False,
     axis_name: Optional[str] = None,
 ):
@@ -285,6 +319,14 @@ def ca_gmres(
     ``restart`` (Hoemmen 2010 §7; the reference's s-step ambition,
     pca_gmres.rs:136-229). ``"monomial"`` is the zero-shift special case
     (the reference's basis, pca_gmres.rs:141-159).
+
+    ``shifts``: precomputed ``(re, imsq, gamma)`` from
+    :func:`newton_shifts` — the shifts depend only on the
+    (preconditioned) operator's spectrum, so callers solving REPEATEDLY
+    with one operator should compute them once: the in-solve 12-step
+    Arnoldi prepass costs ~18 ms per solve at 8M dof (measured round 4),
+    ~0.6 ms/iteration of a 30-iteration solve. Ignored for
+    ``basis="monomial"``.
     """
     A = prepare_loop(as_operator(A, dtype=jnp.asarray(b).dtype))
     M = prepare_loop(M)
@@ -323,7 +365,18 @@ def ca_gmres(
     dtype = b.dtype
     n = b.shape[0]
 
-    if basis == "newton":
+    if basis == "newton" and shifts is not None:
+        sh_re, sh_imsq, sh_gamma = (
+            jnp.asarray(shifts[0], dtype),
+            jnp.asarray(shifts[1], dtype),
+            jnp.asarray(shifts[2], dtype),
+        )
+        if sh_re.shape != (s,):
+            raise ValueError(
+                f"shifts must be three ({s},) vectors (newton_shifts with "
+                f"s={s}), got shape {sh_re.shape}"
+            )
+    elif basis == "newton":
         sh_re, sh_imsq, sh_gamma = _newton_shifts(op, r0, s, axis_name, dtype)
     elif basis == "monomial":
         sh_re = jnp.zeros(s, dtype=dtype)
@@ -359,14 +412,29 @@ def ca_gmres(
             # 32 MB value and pays the (s, n) write ONCE at the stack.
             u_prev, u = jnp.zeros_like(v), v
             ws, d2l = [], []
+            # fused basis step: on the beyond-VMEM planned path the
+            # shift + norm ride the SpMV kernel's epilogue (one pass
+            # instead of SpMV + a separate ~128 MB elementwise pass per
+            # step at 8M dof); see DIAOperator.matvec_shift
+            fused_shift = (
+                side == "none"
+                and axis_name is None
+                and hasattr(A, "matvec_shift")
+            )
+            inv_g = 1.0 / sh_gamma
             for i in range(s):
-                w = (op(u) - sh_re[i] * u + sh_imsq[i] * u_prev) / sh_gamma[i]
+                if fused_shift:
+                    w, d2i = A.matvec_shift(
+                        u, u_prev, sh_re[i], sh_imsq[i], inv_g[i]
+                    )
+                else:
+                    w = (op(u) - sh_re[i] * u + sh_imsq[i] * u_prev) * inv_g[i]
+                    # per-step LOCAL partial norm: fuses into w's
+                    # producer (w is live in VMEM at this point) — still
+                    # exactly ONE psum per block below
+                    d2i = jnp.sum(w * w)
                 ws.append(w)
-                # per-step LOCAL partial norm: fuses into w's producer
-                # (w is live in VMEM at this point), replacing the old
-                # separate d2 = sum(P0*P0, axis=1) read of the full
-                # (s, n) stack — still exactly ONE psum per block below
-                d2l.append(jnp.sum(w * w))
+                d2l.append(d2i)
                 u_prev, u = u, w
 
             # exact norm equilibration (one psum per block): the static

@@ -148,6 +148,28 @@ def test_ca_gmres_poisson():
     )
 
 
+def test_ca_gmres_precomputed_shifts_match_in_solve_prepass():
+    # shifts= reuses one newton_shifts() result across solves (the
+    # operator-only state); seeded with the same r0 the in-solve prepass
+    # uses, the iteration trajectory must be identical
+    from kryst_tpu.solvers.ca_gmres import newton_shifts
+
+    a = gallery.poisson_2d(12)
+    A = a.to_ell()
+    b = jnp.ones(144)
+    x1, s1 = ca_gmres(A, b, tol=1e-8, maxiter=600, restart=8)
+    sh = newton_shifts(A, b, s=8)
+    x2, s2 = ca_gmres(A, b, tol=1e-8, maxiter=600, restart=8, shifts=sh)
+    assert bool(s2.reached_tol)
+    assert int(s1.iterations) == int(s2.iterations)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=0, atol=0)
+    # wrong-length shifts fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ca_gmres(A, b, restart=8, shifts=(sh[0][:4], sh[1][:4], sh[2][:4]))
+
+
 def test_ca_gmres_right_preconditioned():
     from kryst_tpu.pc.ilu import ilu0
 

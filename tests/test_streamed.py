@@ -115,6 +115,43 @@ def test_planned_smooth_epilogue_matches_unfused():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
 
 
+def test_planned_shift_epilogue_matches_unfused():
+    # fused CA-GMRES Newton-basis step (round-5): one streamed pass
+    # computing (A u - re*u + imsq*u_prev)*inv_gamma AND sum(w*w); the
+    # scalars are runtime (SMEM) operands because Newton shifts are
+    # traced device values
+    import numpy as np
+    from kryst_tpu.ops.dia import DIAOperator
+    from kryst_tpu.ops.streamed import dia_spmv_planned
+
+    rng = np.random.default_rng(1)
+    n = 70000
+    offs = (-263, -1, 0, 1, 263)
+    data = rng.standard_normal((5, n)).astype(np.float32)
+    op = DIAOperator(jnp.asarray(data), offs, n).planned(block_rows=256)
+    u = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    up = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    re, imsq, ginv = 0.37, 0.11, 0.83
+    sc = jnp.asarray([[re, imsq, ginv]], jnp.float32)
+    w, d2 = dia_spmv_planned(
+        op.data_blk, offs, u, op.plan,
+        with_dot=True, shift_prev=up, shift_scalars=sc, interpret=True,
+    )
+    ref = (op.matvec(u) - re * u + imsq * up) * ginv
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        float(d2), float(jnp.sum(ref * ref)), rtol=1e-4
+    )
+    # chunked path (multiple kernel calls): partial d2 sums must add up
+    w2, d2_2 = dia_spmv_planned(
+        op.data_blk, offs, u, op.plan,
+        with_dot=True, shift_prev=up, shift_scalars=sc, interpret=True,
+        x_budget_bytes=64 * 1024,
+    )
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(float(d2_2), float(d2), rtol=1e-5)
+
+
 @pytest.mark.parametrize(
     "n,k,offsets",
     [
