@@ -466,6 +466,38 @@ register_dataclass(
 )
 
 
+def _make_ub_dev():
+    import functools as _functools
+
+    import jax as _jax
+
+    @_functools.partial(_jax.jit, static_argnums=(1,))
+    def _ub(D, i0):
+        return jnp.max(
+            jnp.where(
+                D[i0] != 0,
+                jnp.sum(jnp.abs(D), axis=0) / jnp.abs(D[i0]),
+                0.0,
+            )
+        )
+
+    return _ub
+
+
+def _make_dinv_dev():
+    import jax as _jax
+
+    @_jax.jit
+    def _dinv(dd):
+        return jnp.where(dd != 0, 1.0 / jnp.where(dd != 0, dd, 1.0), 0.0)
+
+    return _dinv
+
+
+_UB_DEV = _make_ub_dev()
+_DINV_DEV = _make_dinv_dev()
+
+
 def _probe_setup(
     A, grid, sym, max_levels, coarse_size, nu_pre, nu_post,
     smooth_omega, p_omega, max_offsets, smooth_levels, dtype,
@@ -527,20 +559,13 @@ def _probe_setup(
             )
         )
 
-    _ub_dev = _jax.jit(
-        lambda D, i0: jnp.max(
-            jnp.where(
-                D[i0] != 0,
-                jnp.sum(jnp.abs(D), axis=0) / jnp.abs(D[i0]),
-                0.0,
-            )
-        ),
-        static_argnums=(1,),
-    )
-    _dinv_dev = _jax.jit(
-        lambda dd: jnp.where(dd != 0, 1.0 / jnp.where(dd != 0, dd, 1.0), 0.0)
-    )
-    _probe = _jax.jit(probe_coarse_data, static_argnums=(1, 2))
+    # module-level jits: fresh per-setup wrappers re-traced and
+    # re-loaded every graph each call (~10 s/level client-side at 8M,
+    # round-5 stage 9)
+    from kryst_tpu.pc.rap_probe import probe_coarse_data_jit as _probe
+
+    _ub_dev = _UB_DEV
+    _dinv_dev = _DINV_DEV
 
     handoff = False  # grid got too small for alias-free probing
     for lvl_idx in range(max_levels):

@@ -36,6 +36,7 @@ level plus a ~2 s extraction pass, vs ~35 s host SpGEMM + upload.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -195,6 +196,13 @@ def probe_coarse_data(level, rc, mid="A"):
         n_done = int(np.prod([len(deltas_axes[a]) for a in range(ax)])) or 1
         inner = lead // (n_done * p)
         curv = cur.reshape((n_done, p, inner) + cur.shape[1:])
+        # Unrolled per-offset/per-color masked terms. A broadcast-
+        # multiply + reduce over the probe-component axis looks cleaner
+        # (4 traced ops per axis) but its rank-7 reduce fusion compiled
+        # 10x SLOWER at the mid levels (L2 cold compile 289.6 s vs
+        # 29.3 s for this form — round-5 stage 9b, reverted); the
+        # per-setup retrace cost this loop used to carry is gone via
+        # the module-level jit (probe_coarse_data_jit) instead.
         io = lax.broadcasted_iota(
             jnp.int32, tuple(1 for _ in range(3)) + cur.shape[1:], 3 + ax
         )
@@ -220,7 +228,7 @@ def prune_diagonals(data, deltas, coarse, tol: float = 0.0):
     per-diagonal max |.|); always keeps the main diagonal. Returns
     ``(data_kept, linear_offsets)`` sorted by linear offset, with the
     row selection done by static per-row slices (no device gather)."""
-    maxabs = np.asarray(jax.jit(lambda x: jnp.max(jnp.abs(x), axis=1))(data))
+    maxabs = np.asarray(_maxabs_rows(data))
     strides = _coarse_strides(coarse)
     keep, offs = [], []
     for k, dl in enumerate(deltas):
@@ -231,10 +239,43 @@ def prune_diagonals(data, deltas, coarse, tol: float = 0.0):
     order = np.argsort(np.asarray(offs, dtype=np.int64), kind="stable")
     keep = [keep[i] for i in order]
     offs = tuple(int(offs[i]) for i in order)
-    rows = jax.jit(
-        lambda x: jnp.stack([x[k] for k in keep])
-    )(data)
+    rows = _stack_rows(data, tuple(keep))
     return rows, offs
+
+
+# Module-level jits: GMGPC.setup used to create fresh jit wrappers per
+# call, so every setup re-traced and re-loaded every graph (~10 s/level
+# client-side at 8M on this 1-core host, round-5 stage 9). A module-
+# level jit keeps one trace cache per (structure, statics) for the
+# process lifetime.
+@jax.jit
+def _maxabs_rows(x):
+    return jnp.max(jnp.abs(x), axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _stack_rows(x, keep):
+    return jnp.stack([x[k] for k in keep])
+
+
+@jax.jit
+def _bf16_exact(x):
+    return jnp.all(x.astype(jnp.bfloat16).astype(jnp.float32) == x)
+
+
+@functools.partial(jax.jit, static_argnames=("target", "ndiag", "plan"))
+def _blk_device(data, target, ndiag, plan):
+    x = data.astype(target)
+    npad = plan.mpad * 128
+    z = jnp.zeros((ndiag, npad), target).at[:, : x.shape[1]].set(x)
+    return (
+        z.reshape(ndiag, plan.nblk, plan.block_rows, 128)
+        .transpose(1, 0, 2, 3)
+        .reshape(plan.nblk * ndiag * plan.block_rows, 128)
+    )
+
+
+probe_coarse_data_jit = jax.jit(probe_coarse_data, static_argnums=(1, 2))
 
 
 def relayout_device(data, offsets, n, block_rows: int = 0, blk_dtype=None):
@@ -255,17 +296,7 @@ def relayout_device(data, offsets, n, block_rows: int = 0, blk_dtype=None):
         bm16 = -(-plan.block_rows // 16) * 16
         plan = DIAPlan(bm16, plan.margin, -(-plan.mpad // bm16) * bm16)
 
-    def _blk(x):
-        x = x.astype(target)
-        npad = plan.mpad * 128
-        z = jnp.zeros((ndiag, npad), target).at[:, : x.shape[1]].set(x)
-        return (
-            z.reshape(ndiag, plan.nblk, plan.block_rows, 128)
-            .transpose(1, 0, 2, 3)
-            .reshape(plan.nblk * ndiag * plan.block_rows, 128)
-        )
-
-    return jax.jit(_blk)(data), plan
+    return _blk_device(data, target, ndiag, plan), plan
 
 
 def build_coarse_operator(
@@ -299,14 +330,7 @@ def build_coarse_operator(
             data_flat=data.reshape(-1),
         )
     if blk_dtype is None and data.dtype == jnp.float32:
-        exact = bool(
-            jax.jit(
-                lambda x: jnp.all(
-                    x.astype(jnp.bfloat16).astype(jnp.float32) == x
-                )
-            )(data)
-        )
-        if exact:
+        if bool(_bf16_exact(data)):
             blk_dtype = jnp.bfloat16
     dblk, plan = relayout_device(data, offsets, n, blk_dtype=blk_dtype)
     return DIAOperator(data, offsets, n, dblk, plan, at, symmetric)
