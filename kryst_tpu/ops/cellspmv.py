@@ -205,16 +205,25 @@ class CellOperator:
     faster on the target backend.
     """
 
-    lrow: Array  # (NB, K, P) int32
-    lcol: Array  # (NB, K, P) int32
-    val: Array   # (NB, K, P)
-    chk: Array   # (NB, K) int32
+    # Record streams are stored FLAT (NB*K*P,) and reshaped per batch
+    # inside the matvec: a (NB, K, P) device array tiles its last two
+    # dims to (8, 128), so a P=8 record layout would read 16x its bytes
+    # from HBM (the record stream is the cell matvec's dominant
+    # traffic); the flat form keeps a dense 1-D layout and the in-body
+    # reshape is a small VMEM-local relayout of the current batch only.
+    lrow: Array  # (NB*K*P,) int8/int16/int32
+    lcol: Array  # (NB*K*P,) int8/int16/int32
+    val: Array   # (NB*K*P,)
+    chk: Array   # (NB*K,) int32, column-chunk id per record
     diag: Array  # (m,) diagonal (for Jacobi-type PCs)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     R: int = dataclasses.field(metadata=dict(static=True))
     W: int = dataclasses.field(metadata=dict(static=True))
     BB: int = dataclasses.field(metadata=dict(static=True))
     gather_mode: str = dataclasses.field(metadata=dict(static=True))
+    rec_shape: Tuple[int, int, int] = dataclasses.field(
+        default=(0, 0, 0), metadata=dict(static=True)
+    )  # (NB, K, P)
     At: Optional["CellOperator"] = None  # transpose plan (None => symmetric)
 
     @property
@@ -223,7 +232,7 @@ class CellOperator:
 
     def matvec(self, x: Array) -> Array:
         m, n = self.shape
-        NB, K, P = self.lrow.shape
+        NB, K, P = self.rec_shape
         R, W, BB = self.R, self.W, self.BB
         NC = -(-n // W)
         acc = jnp.promote_types(self.val.dtype, x.dtype)
@@ -236,10 +245,20 @@ class CellOperator:
 
         def body(b, y2d):
             off = b * BB
-            lrow = lax.dynamic_slice_in_dim(self.lrow, off, BB, 0)
-            lcol = lax.dynamic_slice_in_dim(self.lcol, off, BB, 0)
-            val = lax.dynamic_slice_in_dim(self.val, off, BB, 0)
-            chk = lax.dynamic_slice_in_dim(self.chk, off, BB, 0)
+            # flat dense reads + small VMEM-local reshapes (see the
+            # field comment: 3-D record arrays tile-pad 8-16x)
+            lrow = lax.dynamic_slice_in_dim(
+                self.lrow, off * K * P, BB * K * P, 0
+            ).reshape(BB, K, P)
+            lcol = lax.dynamic_slice_in_dim(
+                self.lcol, off * K * P, BB * K * P, 0
+            ).reshape(BB, K, P)
+            val = lax.dynamic_slice_in_dim(
+                self.val, off * K * P, BB * K * P, 0
+            ).reshape(BB, K, P)
+            chk = lax.dynamic_slice_in_dim(
+                self.chk, off * K, BB * K, 0
+            ).reshape(BB, K)
             if self.gather_mode == "slice":
                 g = jax.vmap(
                     lambda s: lax.dynamic_slice(x_pad, (s * W,), (W,))
@@ -265,10 +284,13 @@ class CellOperator:
     def todense(self) -> Array:
         """Reconstruct dense (setup/test-time only: uses scatter-add)."""
         m, n = self.shape
-        NB, K, P = self.lrow.shape
+        NB, K, P = self.rec_shape
+        lrow = self.lrow.reshape(NB, K, P).astype(jnp.int32)
+        lcol = self.lcol.reshape(NB, K, P).astype(jnp.int32)
+        chk = self.chk.reshape(NB, K)
         blk = jnp.arange(NB, dtype=jnp.int32)[:, None, None]
-        rows = blk * self.R + self.lrow
-        cols = self.chk[:, :, None] * self.W + self.lcol
+        rows = blk * self.R + lrow
+        cols = chk[:, :, None] * self.W + lcol
         dense = jnp.zeros((NB * self.R, -(-n // self.W) * self.W),
                           self.val.dtype)
         dense = dense.at[rows.reshape(-1), cols.reshape(-1)].add(
@@ -280,7 +302,7 @@ class CellOperator:
 register_dataclass(
     CellOperator,
     data_fields=["lrow", "lcol", "val", "chk", "diag", "At"],
-    meta_fields=["shape", "R", "W", "BB", "gather_mode"],
+    meta_fields=["shape", "R", "W", "BB", "gather_mode", "rec_shape"],
 )
 
 
@@ -297,13 +319,14 @@ def _plan_to_device(plan: CellPlan, diag: np.ndarray, At: Optional[CellOperator]
     val = np.pad(plan.val, pad)
     chk = np.pad(plan.chk, pad[:2])
     return CellOperator(
-        lrow=jnp.asarray(lrow),
-        lcol=jnp.asarray(lcol),
-        val=jnp.asarray(val),
-        chk=jnp.asarray(chk),
+        lrow=jnp.asarray(lrow.reshape(-1)),
+        lcol=jnp.asarray(lcol.reshape(-1)),
+        val=jnp.asarray(val.reshape(-1)),
+        chk=jnp.asarray(chk.reshape(-1)),
         diag=jnp.asarray(diag.astype(plan.val.dtype)),
         shape=plan.shape,
-        R=plan.R, W=plan.W, BB=BB, gather_mode=gather_mode, At=At,
+        R=plan.R, W=plan.W, BB=BB, gather_mode=gather_mode,
+        rec_shape=(NBp, plan.lrow.shape[1], plan.lrow.shape[2]), At=At,
     )
 
 
@@ -318,9 +341,30 @@ def _plan_auto(coo, shape, *, R, W, P, dtype, max_pad_ratio) -> CellPlan:
         return plan_cells(coo.row, coo.col, coo.data, shape, R=R, W=W,
                           P=P, dtype=dtype, max_pad_ratio=max_pad_ratio)
     if coo.nnz * 2 * 12 > _CELL_VMEM_BYTES:
-        return plan_cells(coo.row, coo.col, coo.data, shape, R=1024,
-                          W=128, P=P, dtype=dtype,
-                          max_pad_ratio=max_pad_ratio)
+        # Beyond VMEM the dominant cost is the BATCHED loop: nbatch ~
+        # padded * max(W, R) / VMEM-budget (the one-hot operand bounds
+        # blocks-per-batch), each batch paying a ~0.1 ms dispatch+fusion
+        # floor. Minimize padded * max(W, R) over tile-aligned R: on the
+        # 1M random-Delaunay stiffness (near-singleton cells, P=4) the
+        # old fixed R=1024 plan measured 137 ms where R=128 runs 70.5 —
+        # 1.3x above the 54 ms serial-gather floor (round-5 stage 10c/d;
+        # R < 128 LOSES: sublane-padded temps). Clustered matrices with
+        # fat cells keep preferring large R through the same model.
+        best, bcost, err = None, None, None
+        for r in (1024, 256, 128):
+            try:
+                pl = plan_cells(coo.row, coo.col, coo.data, shape, R=r,
+                                W=128, P=P, dtype=dtype,
+                                max_pad_ratio=max_pad_ratio)
+            except ValueError as e:
+                err = e
+                continue
+            cost = pl.lrow.size * max(pl.W, pl.R)
+            if best is None or cost < bcost:
+                best, bcost = pl, cost
+        if best is None:
+            raise err
+        return best
     best, err = None, None
     for r, w in ((1024, 128), (512, 512), (512, 128), (256, 256)):
         try:
