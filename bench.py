@@ -493,6 +493,41 @@ def main():
                 t_refined = None
                 log(f"refined attempt {attempt}: {type(e).__name__}: {e}")
                 time.sleep(5)
+
+        # RTT-free refined-solve cost: the one-call wall above includes
+        # one host<->device relay round trip that drifts ~20 ms between
+        # sessions (CLAUDE.md) — at 1M it is MOST of the wall. Chain k
+        # refined solves with a data dependency inside one jit and slope
+        # over k: the honest per-solve device cost.
+        try:
+            def mk_ref(nrep):
+                def f_impl(A64_, bb, ops_):
+                    def step(carry, _):
+                        x, st = refine_device(
+                            A64_, carry,
+                            lambda r: pcg(ops_[0], r, M=ops_[1], tol=1e-5,
+                                          maxiter=40, true_residual=False),
+                            tol=1e-8, max_outer=6,
+                        )
+                        return carry + 1e-6 * x, st.outer_iterations
+
+                    return jnp.sum(
+                        lax.scan(step, bb, None, length=nrep)[1]
+                    )
+
+                f = jax.jit(f_impl)
+                return lambda: sync(f(A64, b64, (A, pc)))
+
+            r1, r3 = mk_ref(1), mk_ref(3)
+            r1(); r3()
+            t1 = min(min_wall(r1), min_wall(r1))
+            t3 = min_wall(r3)
+            dt_ref = (t3 - t1) / 2
+            log(f"refined[gmg] {size_tag} per-solve slope: {dt_ref*1e3:.1f} ms")
+            emit(f"poisson3d_{size_tag}_refined_per_solve_slope",
+                 dt_ref * 1e3, "ms", 1.0 / dt_ref)
+        except Exception as e:
+            log(f"refined slope failed: {type(e).__name__}: {e}")
     except Exception as e:
         log(f"GMG/refined bench failed: {type(e).__name__}: {e}")
 
