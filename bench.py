@@ -88,13 +88,20 @@ def replay_chip_records(headline_metric="refined_TRUE_rtol1e-8"):
         print(json.dumps(out), flush=True)
 
 
-def _tpu_responsive(timeout_s: int = 420) -> bool:
+def _tpu_responsive(timeouts=(150, 180, 300)) -> bool:
     """Probe the TPU relay in a SUBPROCESS with a hard timeout.
 
     A killed remote compile can wedge the relay for hours — even
     jax.devices() blocks (CLAUDE.md). Probing in-process would hang this
     benchmark forever; a wedged relay should instead fall back to CPU so
     the driver still records metrics (marked by the backend log line).
+
+    Retries with growing timeouts: a single-shot probe proved brittle —
+    the relay serializes for minutes behind a just-exited client session
+    (measured round 5: a 420 s probe timed out at T+0 while the same
+    probe ran in 6 s at T+9 min), and one transient miss used to forfeit
+    the whole run's on-chip evidence. A truly wedged relay still fails
+    every attempt and falls back after ~10 min total.
     """
     import os
     import subprocess
@@ -106,14 +113,19 @@ def _tpu_responsive(timeout_s: int = 420) -> bool:
         "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache'); "
         "import jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    for i, timeout_s in enumerate(timeouts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+            log(f"TPU probe attempt {i + 1} exited {r.returncode}")
+        except (subprocess.TimeoutExpired, OSError) as e:
+            log(f"TPU probe attempt {i + 1}: {type(e).__name__}")
+        time.sleep(10)
+    return False
 
 
 def main():

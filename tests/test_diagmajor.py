@@ -138,3 +138,20 @@ def test_api_dispatch_3d_grid():
     x2, s2 = solve(a, b, solver="pcg", pc=PCConfig.ilu0(), tol=1e-9,
                    maxiter=200)
     assert int(s.iterations) == int(s2.iterations)
+
+
+def test_solve_packed_static_unroll_matches_scan_bitwise(monkeypatch):
+    # round-5: solve_packed statically unrolls level blocks (scan's
+    # stacked-ys output paid a full buffer pass per step — 284.5 vs
+    # 156.6 us/apply at 256^2 on-chip). The two forms must be BITWISE
+    # equal; force the scan fallback by zeroing the unroll cap.
+    import kryst_tpu.pc.diagmajor as dm
+
+    a = gallery.poisson_2d(16, 20)
+    pc = DiagMajorILU2D.setup(a, grid=(16, 20))
+    r = jnp.asarray(np.random.default_rng(9).standard_normal(320))
+    y_unrolled = pc.apply(r)
+    assert dm._UNROLL_MAX_STEPS > 0  # default path really was unrolled
+    monkeypatch.setattr(dm, "_UNROLL_MAX_STEPS", 0)
+    y_scan = pc.apply(r)
+    np.testing.assert_array_equal(np.asarray(y_unrolled), np.asarray(y_scan))
