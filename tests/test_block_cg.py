@@ -231,3 +231,19 @@ def test_solve_small_spd_spd_uses_exact_solve():
     eps = float(jnp.finfo(jnp.float64).eps)
     Y = np.asarray(_solve_small_spd(jnp.asarray(G), jnp.asarray(B), eps))
     np.testing.assert_allclose(Y, np.linalg.solve(G, B), rtol=1e-6)
+
+
+def test_block_pcg_inter_rejects_axis_name():
+    # advisor r4 (medium): the inter-carrier kernels compute shard-local
+    # Grams with no psum — a sharded inter=True run would silently give
+    # wrong alpha/beta and false convergence. Must be rejected at entry.
+    from kryst_tpu.ops.dia import scipy_to_dia
+
+    a = gallery.poisson_2d(16)
+    Ad = scipy_to_dia(
+        sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape),
+        dtype=np.float32,
+    ).planned(block_rows=256)
+    B = np.ones((a.shape[0], 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="single-device"):
+        block_pcg(Ad, B, inter=True, axis_name="shards")
