@@ -806,6 +806,40 @@ def main():
             if host_rel8 <= 1e-8:
                 emit("config4_poisson3d_8M_refined_TRUE_rtol1e-8", t8, "s",
                      8.0 / t8)  # 1 s/1M target scaled by 8
+
+            # RTT-free per-solve slope, same methodology as the 1M
+            # metric: the one-call wall above carries a full relay round
+            # trip (~15% at 8M and drifting between sessions)
+            try:
+                def mk_ref8(nrep):
+                    def f_impl(A64_, bb, ops_):
+                        def step(carry, _):
+                            x, st = refine_device(
+                                A64_, carry,
+                                lambda r: pcg(ops_[0], r, M=ops_[1],
+                                              tol=1e-5, maxiter=60,
+                                              true_residual=False),
+                                tol=1e-8, max_outer=6,
+                            )
+                            return carry + 1e-6 * x, st.outer_iterations
+
+                        return jnp.sum(
+                            lax.scan(step, bb, None, length=nrep)[1]
+                        )
+
+                    f = jax.jit(f_impl)
+                    return lambda: sync(f(A8_64, b8_64, (A8, pc8)))
+
+                r1, r3 = mk_ref8(1), mk_ref8(3)
+                r1(); r3()
+                t1 = min(min_wall(r1), min_wall(r1))
+                t3 = min_wall(r3)
+                dt8 = (t3 - t1) / 2
+                log(f"refined[gmg] 8M per-solve slope: {dt8*1e3:.1f} ms")
+                emit("poisson3d_8M_refined_per_solve_slope", dt8 * 1e3,
+                     "ms", 8.0 / dt8)
+            except Exception as e:
+                log(f"8M refined slope failed: {type(e).__name__}: {e}")
         except Exception as e:
             log(f"8M configs failed: {type(e).__name__}: {e}")
 
