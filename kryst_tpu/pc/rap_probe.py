@@ -260,7 +260,18 @@ def _stack_rows(x, keep):
 
 @jax.jit
 def _bf16_exact(x):
-    return jnp.all(x.astype(jnp.bfloat16).astype(jnp.float32) == x)
+    """True iff every f32 value is EXACTLY representable in bf16.
+
+    Must NOT be written as ``x.astype(bf16).astype(f32) == x``: XLA's
+    algebraic simplifier folds the f32->bf16->f32 convert pair into
+    identity inside jit on this TPU backend, so that form is always-true
+    — which silently stored every probed coarse panel in lossy bf16 and
+    made 2-D probe V-cycles indefinite (PCG beta<0 at iteration 1,
+    found round 5 on chip). bf16 shares f32's exponent field, so a
+    finite f32 round-trips exactly iff its low 16 mantissa bits are
+    zero — a bitwise test the simplifier cannot fold."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.all((bits & jnp.uint32(0xFFFF)) == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("target", "ndiag", "plan"))

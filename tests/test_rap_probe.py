@@ -129,3 +129,26 @@ def test_probe_rejects_bad_rap_arg():
     a = gallery.poisson_2d(8)
     with pytest.raises(ValueError, match="rap"):
         GMGPC.setup(a, (8, 8), rap="banana")
+
+
+def test_bf16_exact_is_bitwise_not_roundtrip():
+    """_bf16_exact must be a BITWISE low-mantissa test.
+
+    The obvious x.astype(bf16).astype(f32) == x form is folded to
+    identity by XLA's algebraic simplifier inside jit on the TPU backend
+    (always-true — round-5 on-chip finding: every probed coarse panel
+    silently went lossy-bf16 and 2-D probe V-cycles turned indefinite,
+    PCG beta<0 at iteration 1). The bitwise form is fold-proof and must
+    classify exactly."""
+    from kryst_tpu.pc.rap_probe import _bf16_exact
+
+    exact = np.array([1.0, -1.0, 6.0, 0.375, 2.0 ** -30, 0.0, -256.0],
+                     np.float32)
+    assert bool(_bf16_exact(jnp.asarray(exact)))
+    for bad in (2.944444, 1.00390625, np.float32(1) + np.float32(2 ** -12)):
+        v = np.asarray([1.0, bad], np.float32)
+        # host numpy round-trip is the ground truth
+        assert not np.array_equal(
+            v.astype(jnp.bfloat16).astype(np.float32), v
+        )
+        assert not bool(_bf16_exact(jnp.asarray(v)))
