@@ -558,13 +558,25 @@ def main():
             from kryst_tpu.solvers.refine import refine_device
 
             t0 = time.time()
-            a8 = gallery.poisson_3d(200)
             n8 = 200 ** 3
-            # grid= turns on the constant-stencil kernel (zero coefficient
-            # traffic) for this exactly-constant 7-point operator
-            A8 = csr_to_dia(a8, dtype=np.float32, grid=(200, 200, 200))
+            # device-born operator (round-5 stage 13): panels + streaming
+            # layout are written straight into HBM by one small compiled
+            # graph — no host assembly and no ~340 MB relay upload.
+            # Bitwise-equal to csr_to_dia(poisson_3d(200), grid=...)
+            # (tests/test_stencil_device.py), and the operator pytree has
+            # the identical structure, so every solver jit cache entry is
+            # shared with the old path.
+            from kryst_tpu.ops.dia import stencil_to_dia
+
+            A8 = stencil_to_dia(6.0, -1.0, -1.0, (200, 200, 200),
+                                dtype=np.float32)
             b8 = jnp.ones(n8, jnp.float32)
-            log(f"8M setup: {time.time()-t0:.0f}s (host assembly dominates)")
+            log(f"8M operator (device-built): {time.time()-t0:.0f}s")
+            # host CSR kept ONLY for the independent scipy true-residual
+            # verification below (not on the framework path)
+            t0 = time.time()
+            a8 = gallery.poisson_3d(200)
+            log(f"8M host CSR for verification: {time.time()-t0:.0f}s")
 
             # beyond-VMEM GMRES(30)/BiCGStab per-iteration (VERDICT item 1)
             def gmres8_per_iter(orthog):
@@ -766,22 +778,23 @@ def main():
             # precision only moves iteration counts), and host_rel is
             # verified below either way.
             t0 = time.time()
+            # FULLY device-side setup: device-born L0 (stencil_to_dia,
+            # zero host work) + device-probed Galerkin RAP for every
+            # coarse level (pc/rap_probe.py — no host SpGEMM, no panel
+            # uploads). Warm relies on the committed .jax_cache (probe
+            # compiles are ~300 s cold).
             pc8 = GMGPC.setup(
-                a8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
+                A8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
                 dtype=np.float32, smoother="chebyshev",
-                coeff_dtype=jnp.bfloat16, symmetric=True,
-                # device-side probed Galerkin RAP (pc/rap_probe.py): no
-                # host SpGEMM, no coarse-panel uploads — 36.6 s warm vs
-                # 59.9 s host in the same process (stage 8). Warm relies
-                # on the committed .jax_cache (compiles are ~300 s cold).
-                rap="probe" if not on_cpu else "host",
+                coeff_dtype=jnp.bfloat16, rap="probe",
             )
             emit("gmg_8M_setup_wall", time.time() - t0, "s", None)
             log(f"GMG 8M setup (coeff bf16): {time.time()-t0:.0f}s")
-            # grid= here too: the f64 OUTER residual then uses the
-            # panel-free const_spmv_xla form instead of streaming 450 MB
-            # of f64 panels per refinement pass
-            A8_64 = csr_to_dia(a8, dtype=np.float64, grid=(200, 200, 200))
+            # device-built f64 twin: the OUTER residual uses the
+            # panel-free const_spmv_xla form (no data_flat is even
+            # allocated — stencil_to_dia skips it for const f64)
+            A8_64 = stencil_to_dia(6.0, -1.0, -1.0, (200, 200, 200),
+                                   dtype=np.float64)
             b8_64 = jnp.asarray(np.ones(n8))
             ref8 = jax.jit(
                 lambda A64_, A_, M_, bb: refine_device(

@@ -114,21 +114,25 @@ def detect_stencil(
         if nz_total != nz_core:
             return None
         coeffs[k] = c
-    # Pallas-kernel restriction: any axis that actually needs a mask
-    # (nonzero delta on a non-slowest axis) must be >= 128 wide, AND any
-    # masked MIDDLE axis must have stride >= 128, so the kernel's
-    # per-row coordinate reconstruction carries at most one wrap per
-    # 128-lane row (see _const_kernel)
+    return coeffs, tuple(deltas), pallas_geom_ok(deltas, grid)
+
+
+def pallas_geom_ok(deltas, grid: Tuple[int, ...]) -> bool:
+    """Whether the const-stencil Pallas kernel's lane geometry holds.
+
+    Any axis that actually needs a mask (nonzero delta on a non-slowest
+    axis) must be >= 128 wide, AND any masked MIDDLE axis must have
+    stride >= 128, so the kernel's per-row coordinate reconstruction
+    carries at most one wrap per 128-lane row (see _const_kernel)."""
     ndim = len(grid)
     strides = [1] * ndim
     for ax in range(ndim - 2, -1, -1):
         strides[ax] = strides[ax + 1] * grid[ax + 1]
-    pallas_ok = all(
+    return all(
         d[ax] == 0 or (grid[ax] >= 128
                        and (ax == ndim - 1 or strides[ax] >= 128))
         for d in deltas for ax in range(1, ndim)
     )
-    return coeffs, tuple(deltas), pallas_ok
 
 
 def const_spmv_xla(

@@ -300,6 +300,33 @@ class GMGPC:
         """
         if rap not in ("host", "probe"):
             raise ValueError(f"rap must be 'host' or 'probe', got {rap!r}")
+        from kryst_tpu.ops.dia import DIAOperator as _DIA
+
+        if isinstance(a, _DIA):
+            # device-born L0 (e.g. ops/dia.stencil_to_dia): no host CSR
+            # exists, so only the device-probed RAP path can build the
+            # hierarchy — and nothing needs to cross the host boundary
+            # at all (the 8M Poisson setup wall was dominated by host
+            # assembly + the ~340 MB panel upload, round-5 stage 13)
+            if rap != "probe":
+                raise ValueError(
+                    "GMGPC.setup(DIAOperator) requires rap='probe' — the "
+                    "host scipy RAP path needs a host CSR input"
+                )
+            if int(np.prod(grid)) != a.n:
+                raise ValueError(f"grid {grid} does not match n={a.n}")
+            dtype = dtype or a.dtype
+            if np.dtype(dtype) != np.dtype(a.dtype):
+                raise ValueError(
+                    f"dtype {np.dtype(dtype)} != operator dtype {a.dtype}; "
+                    "build the operator in the level dtype"
+                )
+            sym = a.symmetric if symmetric is None else bool(symmetric)
+            return _probe_setup(
+                a, grid, sym, max_levels, coarse_size, nu_pre, nu_post,
+                smooth_omega, p_omega, max_offsets, smooth_levels, dtype,
+                coeff_dtype, smoother, cheb_alpha,
+            )
         dtype = dtype or a.data.dtype
         if int(np.prod(grid)) != a.shape[0]:
             raise ValueError(f"grid {grid} does not match n={a.shape[0]}")
@@ -540,18 +567,29 @@ def _probe_setup(
     blk0 = "auto" if coeff_dtype is None else coeff_dtype
     blk = None if coeff_dtype is None else coeff_dtype
 
-    # ---- level 0 operator from the host CSR (needed on device anyway)
-    d0 = np.asarray(A.diagonal())
-    dinv_host = np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1.0), 0.0)
-    _t("L0 host diag")
-    Ad = scipy_to_dia(
-        A, max_offsets=max_offsets, dtype=dtype, grid=fine,
-        transpose="symmetric" if sym else True, blk_dtype=blk0,
-    )
-    _t("L0 scipy_to_dia (+upload)")
-    dinv_dev = jnp.asarray(dinv_host.astype(dtype))
+    # ---- level 0 operator: host CSR -> device, or a device-born
+    # DIAOperator used as-is (zero host work / upload at L0)
+    from kryst_tpu.ops.dia import DIAOperator as _DIA
+
+    device_l0 = isinstance(A, _DIA)
+    if device_l0:
+        Ad = A
+        dinv_dev = _DINV_DEV(Ad.data[Ad.offsets.index(0)])
+        _t("L0 device diag")
+    else:
+        d0 = np.asarray(A.diagonal())
+        dinv_host = np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1.0), 0.0)
+        _t("L0 host diag")
+        Ad = scipy_to_dia(
+            A, max_offsets=max_offsets, dtype=dtype, grid=fine,
+            transpose="symmetric" if sym else True, blk_dtype=blk0,
+        )
+        _t("L0 scipy_to_dia (+upload)")
+        dinv_dev = jnp.asarray(dinv_host.astype(dtype))
 
     def _ub_host():
+        if device_l0:
+            return float(_UB_DEV(Ad.data, Ad.offsets.index(0)))
         rowsum = np.asarray(np.abs(A).sum(axis=1)).ravel()
         return float(
             np.max(
@@ -681,6 +719,13 @@ def _probe_setup(
         )
         coarse_inv = np.linalg.inv(dense)
         _t("bottom fetch + dense inverse")
+    elif device_l0:
+        # tiny grid, no probed levels: fetch the (small) device panel once
+        coarse_inv = np.linalg.inv(
+            dia_to_dense_host(
+                np.asarray(_jax.device_get(A.data)), A.offsets, A.n
+            )
+        )
     else:
         coarse_inv = np.linalg.inv(A.toarray())
     cheb_pre = cheb_post = ()
