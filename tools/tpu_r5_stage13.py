@@ -17,7 +17,10 @@ Measures (on chip):
 
 Run: nohup python tools/tpu_r5_stage13.py > /tmp/r5_stage13.log 2>&1 &
 """
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
