@@ -790,6 +790,17 @@ def main():
             )
             emit("gmg_8M_setup_wall", time.time() - t0, "s", None)
             log(f"GMG 8M setup (coeff bf16): {time.time()-t0:.0f}s")
+            # warm re-setup: the first call pays one-time compiled-graph
+            # loads; this is the repeated-use cost (0.77 s measured,
+            # stage 13) — the number a long-lived solver service sees
+            t0 = time.time()
+            pc8 = GMGPC.setup(
+                A8, grid=(200, 200, 200), nu_pre=2, nu_post=2,
+                dtype=np.float32, smoother="chebyshev",
+                coeff_dtype=jnp.bfloat16, rap="probe",
+            )
+            emit("gmg_8M_setup_wall_warm", time.time() - t0, "s", None)
+            log(f"GMG 8M warm re-setup: {time.time()-t0:.2f}s")
             # device-built f64 twin: the OUTER residual uses the
             # panel-free const_spmv_xla form (no data_flat is even
             # allocated — stencil_to_dia skips it for const f64)
