@@ -546,6 +546,34 @@ def main():
                  dt_ref * 1e3, "ms", 1.0 / dt_ref)
         except Exception as e:
             log(f"refined slope failed: {type(e).__name__}: {e}")
+
+        # device-born operator + fully device-side GMG setup at this size
+        # (round-5 stage 13): same solve quality, setup without host
+        # assembly/upload. Existing host-path metrics above are kept
+        # unchanged for cross-round continuity; these are additive.
+        try:
+            from kryst_tpu.ops.dia import stencil_to_dia
+
+            Ad = stencil_to_dia(6.0, -1.0, -1.0, (n3, n3, n3),
+                                dtype=np.float32)
+            pcd = GMGPC.setup(Ad, (n3, n3, n3), nu_pre=2, nu_post=2,
+                              smoother="chebyshev", rap="probe")
+            t0 = time.time()
+            pcd = GMGPC.setup(Ad, (n3, n3, n3), nu_pre=2, nu_post=2,
+                              smoother="chebyshev", rap="probe")
+            emit(f"gmg_{size_tag}_setup_device_wall_warm",
+                 time.time() - t0, "s", None)
+            log(f"GMG {size_tag} device setup (warm): {time.time()-t0:.2f}s")
+            td = refined_wall(
+                lambda ops, rhs: pcg(ops[0], rhs, M=ops[1], tol=1e-5,
+                                     maxiter=40, true_residual=False),
+                (Ad, pcd), "gmg-device",
+            )
+            if td:
+                emit(f"poisson3d_{size_tag}_refined_device_setup_TRUE_rtol1e-8",
+                     td, "s", 1.0 / td)
+        except Exception as e:
+            log(f"device-setup bench failed: {type(e).__name__}: {e}")
     except Exception as e:
         log(f"GMG/refined bench failed: {type(e).__name__}: {e}")
 

@@ -100,6 +100,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("KRYST_TPU_NO_NATIVE"):
         return None
+    override = os.environ.get("KRYST_TPU_NATIVE_LIB")
+    if override:
+        # debugging hook: load a pre-built library (e.g. an ASan build:
+        # g++ -g -fsanitize=address ... + LD_PRELOAD=libasan.so)
+        try:
+            lib = ctypes.CDLL(override)
+            _configure(lib)
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
     try:
         with open(_SRC, "rb") as f:
             tag = hashlib.sha256(f.read()).hexdigest()[:16]

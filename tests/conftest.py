@@ -18,6 +18,25 @@ jax.config.update("jax_enable_x64", True)
 
 
 # ---------------------------------------------------------------------------
+# XLA:CPU segfault workaround (round 5): with several hundred compiled
+# executables alive in one process, a later (individually innocuous)
+# compile segfaults inside backend_compile_and_load — reproduced 3/3 at
+# the same test with and without the native layer, and the same test
+# passes in isolation or after any prefix subset. Dropping the live
+# executables between test MODULES keeps the per-process compile
+# population bounded; modules recompile their own graphs anyway, so the
+# wall-time cost is small.
+# ---------------------------------------------------------------------------
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
 # Smoke tier: `pytest -m smoke` runs a ~2-3 minute subset covering one test
 # per solver / preconditioner / sharded path, so CI and the build driver can
 # validate per-commit without the ~40-minute full suite (VERDICT r2 item 10).
